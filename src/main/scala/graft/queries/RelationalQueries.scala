@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.core.Tables
+
+/** General relational operators over the TPC-H-ish tables: scan + agg,
+  * broadcast dim join, semi-join shaping, windowed top-k. These exercise the
+  * engine's bread-and-butter plans (pushdown, partial aggregation, broadcast
+  * joins) and provide the bench headline numbers.
+  *
+  * Float determinism: every aggregated measure is integer-valued or cast to
+  * DECIMAL before summing, so results are order-independent and hash-stable
+  * vs the DuckDB oracle.
+  */
+object RelationalQueries {
+
+  val all: Seq[Q] = Seq(
+
+    Q("q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(18,2)")).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    },
+
+    Q("q2_join_agg",
+      """SELECT n.n_name,
+        |  count(*) AS n_orders,
+        |  sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+    },
+
+    Q("q3_topk_window",
+      """WITH ranked AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders
+        |)
+        |SELECT o_custkey, o_orderkey, o_totalprice FROM ranked WHERE rk <= 3""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    },
+
+    Q("q4_semi_join",
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+        |)""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).join(
+        Tables.lineitem(s, dir).filter(col("l_quantity") > 45),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+    },
+
+    Q("q5_filter_pushdown",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-06-01' AND l_discount < 0.05""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1998-06-01").cast("timestamp") &&
+          col("l_discount") < 0.05)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    },
+
+    Q("q6_events_sessionize",
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 OR lag(ts) OVER w IS NULL
+        |         THEN 1 ELSE 0 END AS boundary
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, event_id, us,
+        |    sum(boundary) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  max(us) - min(us) AS dur_us
+        |FROM s GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ws = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("boundary",
+          when(col("us") - lag("us", 1).over(w) > 1800000000L ||
+            lag("ts", 1).over(w).isNull, 1).otherwise(0))
+        .withColumn("session_id", sum("boundary").over(ws))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), (max("us") - min("us")).as("dur_us"))
+    })
+}
