@@ -37,6 +37,7 @@ object Spadl {
 
   // Frequently used ids.
   val TypePass = 0
+  val TypeCross = 1
   val TypeCornerCrossed = 5
   val TypeCornerShort = 6
   val TypeFoul = 8

@@ -42,8 +42,8 @@ object SynActions {
       (col("event_id") * 13 % 1051 / lit(10.0)).as("end_x"),
       (col("event_id") * 17 % 681 / lit(10.0)).as("end_y"),
       (col("event_id") % 23).cast("int").as("type_id"),
-      (col("event_id") * 3 % 6).cast("int").as("result_id"),
-      (col("event_id") * 5 % 6).cast("int").as("bodypart_id"),
+      (col("event_id") * 5 % 6).cast("int").as("result_id"),
+      (col("event_id") * 7 % 6).cast("int").as("bodypart_id"),
       col("event_id").as("seq"))
     base.withColumn("action_id", row_number().over(Wg).cast("long") - 1)
   }
@@ -65,8 +65,8 @@ object SynActions {
        |         event_id * 13 % 1051 / 10.0 AS end_x,
        |         event_id * 17 % 681 / 10.0 AS end_y,
        |         CAST(event_id % 23 AS INT) AS type_id,
-       |         CAST(event_id * 3 % 6 AS INT) AS result_id,
-       |         CAST(event_id * 5 % 6 AS INT) AS bodypart_id,
+       |         CAST(event_id * 5 % 6 AS INT) AS result_id,
+       |         CAST(event_id * 7 % 6 AS INT) AS bodypart_id,
        |         event_id AS seq
        |  FROM events
        |), actions AS (
