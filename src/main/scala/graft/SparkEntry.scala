@@ -14,7 +14,8 @@ object SparkEntry {
   def all: Seq[Q] =
     SpadlQueries.all ++ RelationalQueries.all ++ VaepQueries.all ++
       XtQueries.all ++ AtomicQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all ++ StreamingQueries.all
+      DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
+      StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full SPADL normalizer chain (clearance repair, direction fix,

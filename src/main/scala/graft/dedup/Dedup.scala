@@ -1,0 +1,140 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Deduplication operators for web-scale corpus curation: exact (content
+  * hash), n-gram Jaccard (inverted-index pair generation), MinHash+LSH
+  * banding, and SimHash. All are shuffle-shaped the way the 100 TB versions
+  * must be: pair candidates come from equi-joins on content-derived keys
+  * (shingle / band / simhash bucket), never from a cross join; the only
+  * wide rows are (doc_id, shingle) postings with map-side projection.
+  */
+object Dedup {
+
+  /** Stable 60-bit content hash from md5 (identical hex prefix parse on the
+    * SQL side: ('0x' || substr(md5(s),1,15))::BIGINT). */
+  def md5Hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Word n-gram shingles (distinct). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = TextOps.tokens(text)
+    array_distinct(transform(sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(w, i, lit(n)))))
+  }
+
+  /** Exact duplicate groups: docs whose full text hashes equal; canonical =
+    * min doc_id. One hash-shuffle on the 60-bit content hash — at scale this
+    * is the cheapest possible grouping (no text comparison re-shuffle since
+    * collision probability at 2^60 is negligible for dedup purposes). */
+  def exactDuplicates(documents: DataFrame): DataFrame = {
+    val hashed = documents.select(col("doc_id"), md5Hash60(col("text")).as("content_hash"))
+    hashed
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("group_size"), min("doc_id").as("canonical_id"),
+        collect_list("doc_id").as("ids"))
+      .filter(col("group_size") > 1)
+      .select(explode(col("ids")).as("doc_id"), col("canonical_id"), col("group_size"))
+      .filter(col("doc_id") =!= col("canonical_id"))
+  }
+
+  /** Candidate near-duplicate pairs with exact n-gram Jaccard ≥ threshold.
+    * Pair generation via the shingle inverted index (explode → self-equi-join
+    * on shingle → per-pair intersection count), the scalable formulation:
+    * work is proportional to Σ_s df(s)², not |docs|². */
+  def jaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = documents.select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+  }
+
+  val NumMinhash = 16
+  val BandSize = 4
+  def minhashA(j: Int): Long = 1L + 7919L * j
+  def minhashB(j: Int): Long = 104729L * j
+
+  /** MinHash signature component j over the shingle set:
+    * min over shingles of (a_j · h(s) + b_j) mod p, h = 60-bit md5 prefix
+    * reduced mod p (keeps products < 2^63). */
+  def minhash(text: Column, j: Int, n: Int = 3): Column =
+    array_min(transform(shingles(text, n),
+      s => (lit(minhashA(j)) * (conv(substring(md5(s), 1, 15), 16, 10).cast("long") % TextOps.HashPrime)
+        + lit(minhashB(j))) % TextOps.HashPrime))
+
+  /** LSH band key b (= BandSize consecutive minhashes, string-combined). */
+  def bandKey(text: Column, band: Int, n: Int = 3): Column =
+    concat_ws("_", (band * BandSize until (band + 1) * BandSize)
+      .map(j => minhash(text, j, n).cast("string")): _*)
+
+  /** MinHash-LSH candidate pairs: docs sharing any band bucket, verified
+    * with exact Jaccard. Explodes docs × bands (constant factor 4), joins on
+    * (band_id, band_key) — the classic banding join that keeps candidate
+    * generation linear in bucket occupancy at corpus scale. */
+  def minhashLshPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val nBands = NumMinhash / BandSize
+    val banded = documents.select(col("doc_id"), col("text"),
+      posexplode(array((0 until nBands).map(b => bandKey(col("text"), b, n)): _*))
+        .as(Seq("band_id", "band_key")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.text").as("text_a"), col("b.text").as("text_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val shA = shingles(col("text_a"), n)
+    val shB = shingles(col("text_b"), n)
+    val interSize = size(array_intersect(shA, shB)).cast("double")
+    cand
+      .withColumn("jaccard", interSize / (size(shA) + size(shB) - interSize))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  val SimhashBits = 32
+
+  /** 32-bit SimHash over whitespace tokens: bit b is set iff the sum of
+    * ±1 votes from each token's hash bit b is positive. */
+  def simhash32(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    val hashes = transform(toks,
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    (0 until SimhashBits).map { b =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-duplicate pairs: bucket by the 4 × 8-bit sub-keys (docs
+    * within Hamming distance 3 share at least one), verify with bit_count. */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = documents.select(col("doc_id"), simhash32(col("text")).as("simhash"))
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 8).bitwiseAND(0xFF)): _*)).as(Seq("band_id", "band_key")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,3 +1,157 @@
 package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 import graft.Q
-object DedupQueries { val all: Seq[Q] = Seq() }
+import graft.core.Tables
+import graft.dedup.Dedup
+
+/** Deduplication operators over the `documents` table. To exercise
+  * non-trivial duplicate structure at every scale factor, the corpus is
+  * deterministically augmented (identically in Spark and the oracle):
+  * exact copies for doc_id % 7 = 0 (+2e6) and last-word-truncated
+  * near-copies for doc_id % 10 = 0 (+1e6). */
+object DedupQueries {
+
+  private val toksSql = """string_split_regex(trim(text), '\s+')"""
+
+  /** Augmented corpus CTE (DuckDB). */
+  private val augCte =
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    array_to_string(($toksSql)[1:len($toksSql) - 1], ' ')
+       |  FROM documents WHERE doc_id % 10 = 0
+       |)""".stripMargin
+
+  /** Same augmentation in Spark. */
+  def augmented(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val toks = split(trim(col("text")), "\\s+")
+    val exact = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+    val near = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"))
+    d.unionByName(exact).unionByName(near)
+  }
+
+  private val shinglesSql =
+    s"list_distinct(list_transform(generate_series(1, greatest(len($toksSql) - 2, 1)), " +
+      s"i -> array_to_string(($toksSql)[i:i+2], ' ')))"
+
+  private def minhashSql(j: Int): String = {
+    val a = Dedup.minhashA(j)
+    val b = Dedup.minhashB(j)
+    s"list_min(list_transform(sh, s -> ($a * (('0x' || substring(md5(s), 1, 15))::BIGINT % 1000000007) + $b) % 1000000007))"
+  }
+
+  private def tokHash32Sql = "('0x' || substring(md5(t), 1, 8))::BIGINT"
+
+  private def simhashSql: String = {
+    val terms = (0 until Dedup.SimhashBits).map { b =>
+      s"""(CASE WHEN list_sum(list_transform($toksSql,
+         |    t -> CASE WHEN ($tokHash32Sql >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |  THEN ${1L << b} ELSE 0 END)""".stripMargin
+    }
+    terms.mkString(" + ")
+  }
+
+  val all: Seq[Q] = Seq(
+
+    Q("dedup_exact",
+      s"""$augCte, h AS (
+         |  SELECT doc_id, md5(text) AS content_hash FROM aug
+         |), g AS (
+         |  SELECT content_hash, count(*) AS group_size, min(doc_id) AS canonical_id
+         |  FROM h GROUP BY content_hash HAVING count(*) > 1
+         |)
+         |SELECT h.doc_id, g.canonical_id, g.group_size
+         |FROM h JOIN g ON h.content_hash = g.content_hash
+         |WHERE h.doc_id <> g.canonical_id""".stripMargin) { (s, dir) =>
+      // md5 grouping (the 60-bit reduction in Dedup.exactDuplicates is
+      // equivalent here; use full md5 for oracle parity)
+      val hashed = augmented(s, dir).select(col("doc_id"), md5(col("text")).as("content_hash"))
+      val groups = hashed.groupBy("content_hash")
+        .agg(count(lit(1)).as("group_size"), min("doc_id").as("canonical_id"))
+        .filter(col("group_size") > 1)
+      hashed.join(groups, "content_hash")
+        .filter(col("doc_id") =!= col("canonical_id"))
+        .select("doc_id", "canonical_id", "group_size")
+    },
+
+    Q("dedup_ngram_jaccard",
+      s"""$augCte, sh AS (
+         |  SELECT doc_id, unnest($shinglesSql) AS shingle FROM aug
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         |  n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON inter.doc_a = sa.doc_id
+         |JOIN sizes sb ON inter.doc_b = sb.doc_id
+         |WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.5""".stripMargin) { (s, dir) =>
+      Dedup.jaccardPairs(augmented(s, dir), n = 3, threshold = 0.5)
+    },
+
+    Q("dedup_minhash_lsh", {
+      val bands = (0 until Dedup.NumMinhash / Dedup.BandSize).map { band =>
+        val key = (band * Dedup.BandSize until (band + 1) * Dedup.BandSize)
+          .map(j => s"${minhashSql(j)}::VARCHAR").mkString(", ")
+        s"SELECT doc_id, text, $band AS band_id, concat_ws('_', $key) AS band_key FROM shd"
+      }.mkString("\nUNION ALL\n")
+      s"""$augCte, shd AS (
+         |  SELECT doc_id, text, $shinglesSql AS sh FROM aug
+         |), banded AS (
+         |$bands
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.text AS text_a, b.text AS text_b
+         |  FROM banded a
+         |  JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id
+         |), verified AS (
+         |  SELECT doc_a, doc_b,
+         |    len(list_intersect(${shinglesSql.replace("text", "text_a")},
+         |                       ${shinglesSql.replace("text", "text_b")}))::DOUBLE /
+         |    (len(${shinglesSql.replace("text", "text_a")}) + len(${shinglesSql.replace("text", "text_b")})
+         |     - len(list_intersect(${shinglesSql.replace("text", "text_a")},
+         |                          ${shinglesSql.replace("text", "text_b")}))) AS jaccard
+         |  FROM cand
+         |)
+         |SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5""".stripMargin
+    }) { (s, dir) =>
+      Dedup.minhashLshPairs(augmented(s, dir), n = 3, threshold = 0.5)
+    },
+
+    Q("dedup_simhash_values",
+      s"""$augCte
+         |SELECT doc_id, $simhashSql AS simhash FROM aug""".stripMargin) { (s, dir) =>
+      augmented(s, dir).select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+    },
+
+    Q("dedup_simhash_pairs",
+      s"""$augCte, sv AS (
+         |  SELECT doc_id, $simhashSql AS simhash FROM aug
+         |), banded AS (
+         |  SELECT doc_id, simhash, b.band_id, (simhash >> (b.band_id * 8)) & 255 AS band_key
+         |  FROM sv, (SELECT unnest([0, 1, 2, 3]) AS band_id) b
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM banded a
+         |JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin) { (s, dir) =>
+      Dedup.simhashPairs(augmented(s, dir), maxHamming = 3)
+    })
+}

@@ -1,3 +1,78 @@
 package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 import graft.Q
-object SimilarityQueries { val all: Seq[Q] = Seq() }
+import graft.core.Tables
+import graft.sim.Similarity
+
+/** Similarity search over the `embeddings` table. The dot products are
+  * left-folds with float→double widening on both engines, so scores are
+  * bit-identical and even top-k rankings compare exactly. */
+object SimilarityQueries {
+
+  private def queriesDf(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") < 5)
+
+  /** DuckDB dot product of two embedding refs (left fold, double lanes). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, ${Similarity.Dim}), " +
+      s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+
+  private def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  private def planeProjSql(emb: String, p: Int): String = {
+    s"list_reduce(list_transform(generate_series(1, ${Similarity.Dim}), " +
+      s"i -> $emb[i]::DOUBLE * ((($p * 73 + (i - 1) * 179) % 97 - 48)::DOUBLE)), (x, y) -> x + y)"
+  }
+
+  private def bucketSql(emb: String): String =
+    (0 until Similarity.NumPlanes).map { p =>
+      s"(CASE WHEN ${planeProjSql(emb, p)} > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val all: Seq[Q] = Seq(
+
+    Q("sim_cosine_scores",
+      s"""SELECT q.vec_id AS query_id, e.vec_id,
+         |  ${cosineSql("q.embedding", "e.embedding")} AS cosine
+         |FROM embeddings e
+         |JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+         |  ON e.vec_id <> q.vec_id""".stripMargin) { (s, dir) =>
+      Similarity.bruteForceScores(Tables.embeddings(s, dir), queriesDf(s, dir))
+    },
+
+    Q("sim_bruteforce_topk",
+      s"""WITH scores AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id,
+         |    ${cosineSql("q.embedding", "e.embedding")} AS cosine
+         |  FROM embeddings e
+         |  JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+         |    ON e.vec_id <> q.vec_id
+         |)
+         |SELECT query_id, vec_id, cosine, rk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rk
+         |  FROM scores
+         |) WHERE rk <= 10""".stripMargin) { (s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), queriesDf(s, dir), 10)
+    },
+
+    Q("sim_lsh_ann",
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb, ${bucketSql("embedding")} AS bucket
+         |  FROM embeddings WHERE vec_id < 5
+         |), scored AS (
+         |  SELECT q.query_id, e.vec_id, ${cosineSql("q.q_emb", "e.embedding")} AS cosine
+         |  FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+         |)
+         |SELECT query_id, vec_id, cosine, rk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rk
+         |  FROM scored
+         |) WHERE rk <= 10""".stripMargin) { (s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir), queriesDf(s, dir), 10)
+    })
+}

@@ -1,0 +1,80 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force cosine top-k is the exactness baseline; the scale path is
+  * random-hyperplane LSH bucketing (candidates from an equi-join on bucket
+  * signature instead of a cross join). All arithmetic is a left-fold over
+  * the vector lanes with float→double widening, so Spark and the SQL oracle
+  * produce bit-identical doubles.
+  */
+object Similarity {
+
+  val Dim = 64
+
+  /** Left-fold dot product with double accumulation (deterministic order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine scores of every query vector against the corpus.
+    * The query side is tiny — broadcast it so the corpus never shuffles. */
+  def bruteForceScores(embeddings: DataFrame, queries: DataFrame): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    embeddings.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cosine"))
+  }
+
+  /** Exact top-k per query by (cosine desc, vec_id) — rank over the
+    * broadcast-joined scores. */
+  def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    bruteForceScores(embeddings, queries)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  val NumPlanes = 8
+
+  /** Deterministic pseudo-random hyperplane component: lane i of plane p. */
+  def planeComponent(p: Int, i: Int): Double = (((p * 73 + i * 179) % 97) - 48).toDouble
+
+  /** Sign bit of the projection onto plane p (left-fold, deterministic). */
+  def planeBit(emb: Column, p: Int): Column = {
+    val proj = aggregate(
+      zip_with(emb, typedLit((0 until Dim).map(i => planeComponent(p, i))),
+        (x, c) => x.cast("double") * c),
+      lit(0.0), (acc, x) => acc + x)
+    when(proj > 0, lit(1L << p)).otherwise(0L)
+  }
+
+  /** Random-hyperplane LSH bucket signature (NumPlanes bits). */
+  def lshBucket(emb: Column): Column =
+    (0 until NumPlanes).map(p => planeBit(emb, p)).reduce(_ + _)
+
+  /** IVF/LSH-style ANN: candidates share the bucket signature with the
+    * query; exact cosine + top-k inside the bucket only. At corpus scale the
+    * bucket join replaces the O(N·Q) scan with O(occupancy·Q). */
+  def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings.withColumn("bucket", lshBucket(col("embedding")))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("bucket", lshBucket(col("q_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+}

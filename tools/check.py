@@ -57,6 +57,10 @@ def norm(df):
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif pd.api.types.is_integer_dtype(df[c].dtype):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_bool_dtype(df[c].dtype):
+            df[c] = df[c].astype(bool)
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 def compare(a, b):
