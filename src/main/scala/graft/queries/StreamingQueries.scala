@@ -1,3 +1,126 @@
 package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 import graft.Q
-object StreamingQueries { val all: Seq[Q] = Seq() }
+import graft.core.{SynActions, Tables, TokenCodec}
+import graft.core.SynActions.OracleCte
+import graft.streaming.SessionEngine
+
+/** The CEP engine surface (SURVEY.md §2.12, §3.1): the stateful per-game
+  * scan executed in batch mode, the token-codec ingest surface, and the
+  * end-to-end flagship flow (tokens → decode → CEP → labeled actions).
+  * The oracle SQL re-derives the SAME semantics declaratively (windows +
+  * union + range frames), so these queries prove stateful-scan ≡
+  * window-formulation ≡ DuckDB. */
+object StreamingQueries {
+
+  private def actions(s: SparkSession, dir: String): DataFrame =
+    SynActions.fromEvents(Tables.events(s, dir))
+
+  /** clearances → dribbles → dense ids → k=10 labels, over CTE `in`. */
+  private def cepSql(in: String, suffix: String): String = {
+    val wg = s"(PARTITION BY game_id ORDER BY period_id, time_seconds, seq)"
+    s""", clr$suffix AS (
+       |  SELECT game_id, action_id, period_id, time_seconds, team_id, player_id,
+       |    start_x, start_y,
+       |    CASE WHEN type_id = 18 THEN coalesce(lead(start_x) OVER $wg, end_x) ELSE end_x END AS end_x,
+       |    CASE WHEN type_id = 18 THEN coalesce(lead(start_y) OVER $wg, end_y) ELSE end_y END AS end_y,
+       |    type_id, result_id, bodypart_id, seq
+       |  FROM $in
+       |), nx$suffix AS (
+       |  SELECT *,
+       |    lead(team_id) OVER w AS nx_team_id, lead(player_id) OVER w AS nx_player_id,
+       |    lead(period_id) OVER w AS nx_period_id, lead(time_seconds) OVER w AS nx_time_seconds,
+       |    lead(start_x) OVER w AS nx_start_x, lead(start_y) OVER w AS nx_start_y,
+       |    lead(type_id) OVER w AS nx_type_id, lead(bodypart_id) OVER w AS nx_bodypart_id
+       |  FROM clr$suffix WINDOW w AS (PARTITION BY game_id ORDER BY period_id, action_id)
+       |), drb$suffix AS (
+       |  SELECT game_id, period_id, CAST(action_id AS DOUBLE) AS aid_frac, time_seconds,
+       |    team_id, player_id, start_x, start_y, end_x, end_y, type_id, result_id, bodypart_id, seq
+       |  FROM clr$suffix
+       |  UNION ALL
+       |  SELECT game_id, CAST(nx_period_id AS INT),
+       |    CAST(action_id AS DOUBLE) + 0.1,
+       |    (time_seconds + nx_time_seconds) / 2,
+       |    nx_team_id, nx_player_id, end_x, end_y, nx_start_x, nx_start_y,
+       |    CAST(21 AS INT), CAST(1 AS INT), CAST(0 AS INT), seq
+       |  FROM nx$suffix
+       |  WHERE team_id = nx_team_id AND nx_type_id <> 8
+       |    AND (nx_type_id <> 11 OR nx_bodypart_id <> 1)
+       |    AND (end_x - nx_start_x) * (end_x - nx_start_x) + (end_y - nx_start_y) * (end_y - nx_start_y) >= 9.0
+       |    AND (end_x - nx_start_x) * (end_x - nx_start_x) + (end_y - nx_start_y) * (end_y - nx_start_y) <= 3600.0
+       |    AND nx_time_seconds - time_seconds < 10.0
+       |    AND period_id = nx_period_id
+       |), rs$suffix AS (
+       |  SELECT game_id,
+       |    CAST(row_number() OVER (PARTITION BY game_id ORDER BY period_id, aid_frac) AS BIGINT) - 1 AS action_id,
+       |    period_id, time_seconds, team_id, player_id, start_x, start_y, end_x, end_y,
+       |    type_id, result_id, bodypart_id, seq,
+       |    CASE WHEN type_id IN (11, 12, 13) AND result_id = 1 THEN 1 ELSE 0 END AS goal_i,
+       |    CASE WHEN type_id IN (11, 12, 13) AND result_id = 3 THEN 1 ELSE 0 END AS og_i
+       |  FROM drb$suffix
+       |), lab$suffix AS (
+       |  SELECT game_id, action_id, period_id, time_seconds, team_id, player_id,
+       |    start_x, start_y, end_x, end_y, type_id, result_id, bodypart_id, seq,
+       |    (max(goal_i) OVER wt > 0) OR (sum(og_i) OVER wgm - sum(og_i) OVER wt > 0) AS scores,
+       |    (max(og_i) OVER wt > 0) OR (sum(goal_i) OVER wgm - sum(goal_i) OVER wt > 0) AS concedes
+       |  FROM rs$suffix
+       |  WINDOW wt AS (PARTITION BY game_id, team_id ORDER BY action_id
+       |                RANGE BETWEEN CURRENT ROW AND 9 FOLLOWING),
+       |         wgm AS (PARTITION BY game_id ORDER BY action_id
+       |                 RANGE BETWEEN CURRENT ROW AND 9 FOLLOWING)
+       |)""".stripMargin
+  }
+
+  private val outSelect =
+    "SELECT game_id, action_id, period_id, time_seconds, team_id, player_id, " +
+      "start_x, start_y, end_x, end_y, type_id, result_id, bodypart_id, seq, scores, concedes"
+
+  /** DuckDB rendering of the codec quantization (cm / ms fixpoint). */
+  private val quantCte =
+    s""", quant AS (
+       |  SELECT game_id, action_id, period_id,
+       |    CAST(round(time_seconds * 1000) AS BIGINT) / 1000.0 AS time_seconds,
+       |    team_id, player_id,
+       |    CAST(round(start_x * 100) AS BIGINT) / 100.0 AS start_x,
+       |    CAST(round(start_y * 100) AS BIGINT) / 100.0 AS start_y,
+       |    CAST(round(end_x * 100) AS BIGINT) / 100.0 AS end_x,
+       |    CAST(round(end_y * 100) AS BIGINT) / 100.0 AS end_y,
+       |    type_id, result_id, bodypart_id, seq
+       |  FROM actions
+       |)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    Q("stream_cep_batch",
+      s"""$OracleCte ${cepSql("actions", "1")}
+         |$outSelect FROM lab1""".stripMargin) { (s, dir) =>
+      SessionEngine.runBatch(actions(s, dir))
+    },
+
+    Q("stream_tokens_roundtrip",
+      s"""$OracleCte $quantCte
+         |SELECT game_id, action_id, period_id, time_seconds, team_id, player_id,
+         |  start_x, start_y, end_x, end_y, type_id, result_id, bodypart_id
+         |FROM quant""".stripMargin) { (s, dir) =>
+      TokenCodec.decode(TokenCodec.encode(actions(s, dir)))
+    },
+
+    // Flagship end-to-end: tokenized ingest surface → decode → stateful CEP
+    // → labeled action stream. The decoded frame has no seq column; the
+    // dense action_id is the deterministic tiebreaker (unique per game).
+    Q("stream_cep_from_tokens",
+      s"""$OracleCte $quantCte, qs AS (
+         |  SELECT game_id, action_id, period_id, time_seconds, team_id, player_id,
+         |    start_x, start_y, end_x, end_y, type_id, result_id, bodypart_id,
+         |    action_id AS seq
+         |  FROM quant
+         |) ${cepSql("qs", "2")}
+         |$outSelect FROM lab2""".stripMargin) { (s, dir) =>
+      val decoded = TokenCodec.decode(TokenCodec.encode(actions(s, dir)))
+        .withColumn("seq", col("action_id"))
+      SessionEngine.runBatch(decoded)
+    })
+}
