@@ -41,6 +41,7 @@ object Spadl {
   val TypeCornerCrossed = 5
   val TypeCornerShort = 6
   val TypeFoul = 8
+  val TypeTackle = 9
   val TypeInterception = 10
   val TypeShot = 11
   val TypeShotPenalty = 12

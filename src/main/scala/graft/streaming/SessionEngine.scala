@@ -116,9 +116,10 @@ object SessionEngine {
   val SessionGapMs: Long = 30 * 60 * 1000L
 
   /** Streaming mode: per-game buffered state; a processing-time timeout
-    * after SessionGapMs of silence closes the match session and emits the
+    * after `gapMs` of silence closes the match session and emits the
     * fully-normalized, labeled action sequence exactly once. */
-  def runStreaming(events: Dataset[ActionRow]): Dataset[ValuedAction] = {
+  def runStreaming(events: Dataset[ActionRow],
+                   gapMs: Long = SessionGapMs): Dataset[ValuedAction] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -134,7 +135,7 @@ object SessionEngine {
             val prev = state.getOption.getOrElse(GameBuffer(Nil, 0L))
             val buf = GameBuffer(prev.actions ++ rows.toList, prev.maxEventMs)
             state.update(buf)
-            state.setTimeoutDuration(SessionGapMs)
+            state.setTimeoutDuration(gapMs)
             Iterator.empty
           }
       }

@@ -33,9 +33,14 @@ final class SnapshotTable(val root: String) {
   private def manifestOf(v: Long): String =
     new String(Files.readAllBytes(metaDir.resolve(s"snapshot-$v.json")), "UTF-8")
 
-  /** epochIds already committed (for idempotent replay). */
-  def committedEpochs: Set[Long] =
-    versions.map(v => parseField(manifestOf(v), "epochId").toLong).toSet
+  /** (writerId, epochId) pairs already committed (for idempotent replay).
+    * Epoch ids restart at 0 per streaming query, so idempotence is scoped
+    * to the writer (= checkpoint lineage) that produced the epoch. */
+  def committedEpochs: Set[(String, Long)] =
+    versions.map { v =>
+      val m = manifestOf(v)
+      (parseString(m, "writer"), parseField(m, "epochId").toLong)
+    }.toSet
 
   /** All live data files (union of snapshots — append-only table). */
   def liveFiles: Seq[String] =
@@ -46,11 +51,11 @@ final class SnapshotTable(val root: String) {
 
   /** Append `df` as one atomic snapshot for `epochId`. Returns false when
     * the epoch was already committed (replay detected → no-op). */
-  def commit(df: DataFrame, epochId: Long): Boolean = this.synchronized {
-    if (committedEpochs.contains(epochId)) return false
+  def commit(df: DataFrame, epochId: Long, writerId: String = "default"): Boolean = this.synchronized {
+    if (committedEpochs.contains((writerId, epochId))) return false
     Files.createDirectories(metaDir)
     Files.createDirectories(dataDir)
-    val batchDir = dataDir.resolve(s"epoch-$epochId")
+    val batchDir = dataDir.resolve(s"$writerId-epoch-$epochId")
     df.write.mode("overwrite").parquet(batchDir.toString)
     val files = Files.list(batchDir).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
@@ -60,7 +65,7 @@ final class SnapshotTable(val root: String) {
     }
     val v = currentVersion.getOrElse(-1L) + 1
     val manifest =
-      s"""{"version": $v, "epochId": $epochId, "files": [${
+      s"""{"version": $v, "writer": "$writerId", "epochId": $epochId, "files": [${
         counts.map { case (f, c) => s"""{"path": "$f", "rows": $c}""" }.mkString(", ")
       }]}"""
     val tmp = metaDir.resolve(s".snapshot-$v.json.tmp")
@@ -86,13 +91,19 @@ final class SnapshotTable(val root: String) {
     val m = (s""""$field": (\\d+)""").r.findFirstMatchIn(json)
     m.map(_.group(1)).getOrElse(sys.error(s"field $field missing in manifest"))
   }
+  private def parseString(json: String, field: String): String =
+    (s""""$field": "([^"]*)"""").r.findFirstMatchIn(json).map(_.group(1))
+      .getOrElse(sys.error(s"field $field missing in manifest"))
+
   private def parseFiles(json: String): Seq[(String, Long)] =
     ("""\{"path": "([^"]+)", "rows": (\d+)\}""").r.findAllMatchIn(json)
       .map(m => (m.group(1), m.group(2).toLong)).toSeq
 }
 
 object SnapshotTable {
-  /** foreachBatch sink function with exactly-once semantics. */
-  def sink(table: SnapshotTable): (DataFrame, Long) => Unit =
-    (df, epochId) => { table.commit(df, epochId); () }
+  /** foreachBatch sink function with exactly-once semantics. `writerId`
+    * identifies the checkpoint lineage (pass the checkpoint path or query
+    * name) so replays dedupe within a query while distinct queries append. */
+  def sink(table: SnapshotTable, writerId: String = "default"): (DataFrame, Long) => Unit =
+    (df, epochId) => { table.commit(df, epochId, writerId); () }
 }

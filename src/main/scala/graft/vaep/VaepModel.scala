@@ -1,0 +1,81 @@
+package graft.vaep
+
+import org.apache.spark.ml.classification.{GBTClassificationModel, GBTClassifier}
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** M1–M4 — the VAEP model pair: two gradient-boosted binary classifiers
+  * P(score in next 10) / P(concede in next 10) over the assembled feature
+  * vector (reference `socceraction/vaep/base.py:142-216`).
+  *
+  * Differences from the reference, by design: spark.ml's GBTClassifier has
+  * no early stopping, so trees are fixed at `maxIter` with a fixed seed; the
+  * reference's own e2e tests don't golden-check learned-model outputs either
+  * (`tests/vaep/test_vaep.py` asserts structure + metrics), and neither do
+  * ours — the value-exact gates cover features/labels/formula/xT.
+  */
+object VaepModel {
+
+  final case class Fitted(
+      featureCols: Array[String],
+      scores: GBTClassificationModel,
+      concedes: GBTClassificationModel)
+
+  private def assembler(featureCols: Array[String]) =
+    new VectorAssembler().setInputCols(featureCols).setOutputCol("features_vec")
+
+  /** Boolean / numeric feature columns → double (one projection). */
+  def numericize(df: DataFrame, featureCols: Seq[String]): DataFrame =
+    df.select(df.columns.map { c =>
+      if (featureCols.contains(c)) col(c).cast("double").as(c) else col(c)
+    }: _*)
+
+  def fit(train: DataFrame, featureCols: Array[String], maxIter: Int = 20,
+          maxDepth: Int = 3, seed: Long = 42L): Fitted = {
+    val assembled = assembler(featureCols).transform(numericize(train, featureCols))
+      .withColumn("label_scores", col("scores").cast("double"))
+      .withColumn("label_concedes", col("concedes").cast("double"))
+      .cache()
+    def gbt(labelCol: String) = new GBTClassifier()
+      .setLabelCol(labelCol).setFeaturesCol("features_vec")
+      .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed)
+    val m = Fitted(featureCols,
+      gbt("label_scores").fit(assembled),
+      gbt("label_concedes").fit(assembled))
+    assembled.unpersist()
+    m
+  }
+
+  /** M2 — P̂(positive) per model as columns `scores_p` / `concedes_p`. */
+  def estimateProbabilities(model: Fitted, df: DataFrame): DataFrame = {
+    val assembled = assembler(model.featureCols)
+      .transform(numericize(df, model.featureCols.toSeq))
+    val p = (m: GBTClassificationModel, out: String) => (d: DataFrame) =>
+      m.transform(d)
+        .withColumn(out, vector_to_array(col("probability")).getItem(1))
+        .drop("rawPrediction", "probability", "prediction")
+    p(model.concedes, "concedes_p")(p(model.scores, "scores_p")(assembled))
+      .drop("features_vec")
+  }
+
+  /** M3 — rate: probabilities + the VAEP value formula. */
+  def rate(model: Fitted, df: DataFrame): DataFrame =
+    Formula.value(estimateProbabilities(model, df))
+
+  /** M4 — Brier score + AUROC per label (reference `vaep/base.py:351-382`). */
+  def score(df: DataFrame, labelCol: String, probCol: String): (Double, Double) = {
+    val withL = df.withColumn("l", col(labelCol).cast("double"))
+    val brier = withL
+      .agg(avg(pow(col(probCol) - col("l"), 2))).head.getDouble(0)
+    val auroc = new BinaryClassificationEvaluator()
+      .setLabelCol("l").setRawPredictionCol(probCol)
+      .setMetricName("areaUnderROC")
+      .evaluate(withL)
+    (brier, auroc)
+  }
+
+  private def vector_to_array(c: org.apache.spark.sql.Column) =
+    org.apache.spark.ml.functions.vector_to_array(c)
+}

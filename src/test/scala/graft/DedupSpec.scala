@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextOps
+
+/** Dedup / text / similarity operator semantics on hand-built corpora. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (4L, "completely different text with other words entirely here"),
+    (5L, "spark engines shuffle data between executors constantly")
+  ).toDF("doc_id", "text")
+
+  test("exact duplicates: canonical = min id, non-canonical rows emitted") {
+    val out = Dedup.exactDuplicates(docs).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 2L && out(0).getLong(1) == 1L && out(0).getLong(2) == 2L)
+  }
+
+  test("n-gram jaccard finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, n = 3, threshold = 0.4)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keys.exists { case (x, y) => x == 4L || y == 4L })
+  }
+
+  test("minhash identical for identical text; LSH recovers exact dups") {
+    val mh1 = docs.filter($"doc_id" === 1).select(Dedup.minhash(col("text"), 3)).head.getLong(0)
+    val mh2 = docs.filter($"doc_id" === 2).select(Dedup.minhash(col("text"), 3)).head.getLong(0)
+    assert(mh1 == mh2)
+    val pairs = Dedup.minhashLshPairs(docs, n = 3, threshold = 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("simhash: equal for identical text, close for near-dups, far for unrelated") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash32(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(3L)) <= 8)
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 32)))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("text ops: token counts, quality, language id, fingerprints") {
+    val r = docs.filter($"doc_id" === 1).select(
+      TextOps.tokenCount(col("text")),
+      TextOps.bpeTokenCount(col("text")),
+      TextOps.punctCount(col("text")),
+      TextOps.langId(col("text")),
+      TextOps.polyHash(col("text")),
+      TextOps.fingerprint(col("text"))).head
+    assert(r.getInt(0) == 9)
+    assert(r.getInt(1) == 9)
+    assert(r.getInt(2) == 0)
+    assert(r.getString(3) == "en")
+    assert(r.getLong(4) > 0)
+    assert(r.getLong(5) > 0)
+    // identical texts fingerprint identically
+    val fps = docs.filter($"doc_id" <= 2).select(TextOps.fingerprint(col("text")))
+      .collect().map(_.getLong(0)).toSet
+    assert(fps.size == 1)
+  }
+
+  test("cosine similarity: self = 1, fold is deterministic, topk ranks by score") {
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val self = embs.select(Similarity.cosine(col("embedding"), col("embedding"))).collect()
+    self.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
+    val q = embs.filter($"vec_id" === 0)
+    val top = Similarity.bruteForceTopK(embs, q, 3)
+      .orderBy("rk").select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 2L, 3L))
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{SessionEngine, SnapshotTable}
+import graft.streaming.SessionEngine.ActionRow
+
+/** Streaming guarantees: session-close emission, checkpoint resume with
+  * identical output, and exactly-once snapshot-sink commits under replay. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkRows(game: Long, n: Int): Seq[ActionRow] =
+    (0 until n).map(i => ActionRow(game, i.toLong, 1, i * 2.0, (i % 2).toLong, i.toLong,
+      i % 7 * 15.0, i % 5 * 13.0, (i + 1) % 7 * 15.0, (i + 1) % 5 * 13.0,
+      i % 23, i % 6, i % 6, i.toLong))
+
+  test("streaming session engine emits exactly the batch result at session close") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ActionRow]
+    val out = SessionEngine.runStreaming(input.toDS(), gapMs = 300L)
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val query = out.writeStream
+      .format("memory").queryName("cep_out").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(50))
+      .start()
+    // NOTE: processAllAvailable() cannot be used here - with a
+    // ProcessingTimeTimeout armed, Spark schedules timeout-evaluation
+    // batches continuously and the stream never quiesces. Poll instead.
+    def waitFor(cond: => Boolean, ms: Long = 60000): Boolean = {
+      val deadline = System.currentTimeMillis + ms
+      while (!cond && System.currentTimeMillis < deadline) Thread.sleep(100)
+      cond
+    }
+    try {
+      val rows = mkRows(1, 30)
+      input.addData(rows)
+      val expected = SessionEngine.processGame(rows)
+      // after the 300 ms session gap, the timeout fires and the whole game
+      // is emitted exactly once
+      assert(waitFor(spark.table("cep_out").count() == expected.length),
+        "session was not emitted before the deadline")
+      val got = spark.table("cep_out").filter($"game_id" === 1L)
+        .as[SessionEngine.ValuedAction].collect().sortBy(_.action_id).toSeq
+      assert(got == expected.sortBy(_.action_id).toSeq)
+      // no duplicate emission afterwards
+      Thread.sleep(1000)
+      assert(spark.table("cep_out").count() == expected.length)
+    } finally query.stop()
+  }
+
+  test("snapshot sink: atomic versions, lineage, idempotent replay") {
+    val dir = Files.createTempDirectory("snap").toString
+    val table = new SnapshotTable(dir)
+    val df1 = (1 to 10).toDF("v")
+    val df2 = (11 to 15).toDF("v")
+
+    assert(table.commit(df1, epochId = 0L))
+    assert(table.currentVersion.contains(0L))
+    assert(table.totalRows == 10L)
+
+    // replay of epoch 0 (e.g. after a failure before checkpoint advance)
+    assert(!table.commit(df1, epochId = 0L))
+    assert(table.totalRows == 10L) // unchanged — exactly-once
+
+    assert(table.commit(df2, epochId = 1L))
+    assert(table.totalRows == 15L)
+    assert(table.read(spark).count() == 15L)
+    assert(table.committedEpochs == Set(("default", 0L), ("default", 1L)))
+
+    // per-partition lineage recorded
+    val lin = table.lineage(table.currentVersion.get)
+    assert(lin.nonEmpty && lin.map(_._2).sum == 5L)
+  }
+
+  test("checkpoint resume: restart continues without duplicating output") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("ckpt2").toString
+    val dir = Files.createTempDirectory("snap2").toString
+    val table = new SnapshotTable(dir)
+
+    val input1 = MemoryStream[ActionRow]
+    val q1 = input1.toDS().writeStream
+      .foreachBatch((ds: org.apache.spark.sql.Dataset[ActionRow], epochId: Long) =>
+        SnapshotTable.sink(table, "w1")(ds.toDF(), epochId))
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    input1.addData(mkRows(1, 5))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(table.totalRows == 5L)
+
+    // replaying the SAME epoch of the same writer is a no-op (crash between
+    // sink commit and checkpoint advance => foreachBatch re-runs epoch 0)
+    assert(!table.commit(mkRows(1, 5).toDF(), 0L, "w1"))
+    assert(table.totalRows == 5L)
+
+    // restart from the SAME checkpoint with new data: epochs continue, no dupes
+    val input2 = MemoryStream[ActionRow]
+    input2.addData(mkRows(1, 5)) // replayed source data lands in a NEW epoch
+    val q2 = input2.toDS().writeStream
+      .foreachBatch((ds: org.apache.spark.sql.Dataset[ActionRow], epochId: Long) =>
+        SnapshotTable.sink(table, "w2")(ds.toDF(), epochId))
+      .option("checkpointLocation", Files.createTempDirectory("ckpt3").toString)
+      .outputMode("append").start()
+    input2.addData(mkRows(2, 7))
+    q2.processAllAvailable()
+    q2.stop()
+    // a different writer lineage appends (5 replayed + 7 new)
+    assert(table.totalRows == 17L)
+    assert(table.read(spark).count() == 17L)
+  }
+}

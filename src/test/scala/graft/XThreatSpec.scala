@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.streaming.SessionEngine.ActionRow
+import graft.xt.XThreat
+
+/** xT math identities mirroring the reference's unit tests
+  * (`/root/reference/tests/test_xthreat.py:16-207`). */
+class XThreatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def row(sx: Double, sy: Double, ex: Double, ey: Double,
+                  typeId: Int, resultId: Int, seq: Long): ActionRow =
+    ActionRow(1L, seq, 1, seq.toDouble, 1L, 1L, sx, sy, ex, ey, typeId, resultId, 0, seq)
+
+  private def df(rows: ActionRow*): DataFrame = rows.toSeq.toDF()
+
+  private def cellOf(x: Double, y: Double): Long = {
+    import org.apache.spark.sql.functions._
+    Seq((x, y)).toDF("start_x", "start_y")
+      .select(XThreat.flatCellIndex(col("start_x"), col("start_y")))
+      .head.getLong(0)
+  }
+
+  test("cell indexing clips out-of-bounds and uses top-left origin") {
+    // top-left = (x=0, y=field_width): yj=11 ⇒ flat 0
+    assert(cellOf(0.0, 68.0) == 0L)
+    // bottom-right = (x=105, y=0): xi clipped to 15, yj=0 ⇒ (11-0)*16+15
+    assert(cellOf(105.0, 0.0) == 11 * 16 + 15)
+    assert(cellOf(-5.0, -3.0) == 11 * 16 + 0)
+    assert(cellOf(1000.0, 1000.0) == 15L)
+    // interior: x=52.5 ⇒ xi=8; y=34 ⇒ yj=6 ⇒ (11-6)*16+8
+    assert(cellOf(52.5, 34.0) == 5 * 16 + 8)
+  }
+
+  test("scoring prob = goals/shots on a 1x1 grid") {
+    val actions = df(
+      row(10, 10, 90, 34, 11, 1, 0), // shot, goal
+      row(20, 20, 90, 34, 11, 0, 1), // shot, miss
+      row(30, 30, 90, 34, 11, 0, 2), // shot, miss
+      row(40, 40, 50, 50, 0, 1, 3)) // pass
+    val m = XThreat.fit(actions, l = 1, w = 1)
+    assert(m.pScoring(0) == 1.0 / 3.0)
+    assert(m.pShot(0) == 3.0 / 4.0)
+    assert(m.pMove(0) == 1.0 / 4.0)
+  }
+
+  test("shot_prob + move_prob is 0 or 1 per cell") {
+    val actions = df((0 until 40).map(i =>
+      row(i % 7 * 15.0, i % 5 * 13.0, 50, 30, if (i % 3 == 0) 11 else 0, i % 2, i.toLong)): _*)
+    val m = XThreat.fit(actions)
+    (0 until m.l * m.w).foreach { c =>
+      val s = m.pShot(c) + m.pMove(c)
+      assert(s == 0.0 || math.abs(s - 1.0) < 1e-12, s"cell $c sum $s")
+    }
+  }
+
+  test("hand-built two-action transition matrix") {
+    // two successful moves from cell A: one to B, one to C; one failed from A
+    val a = (2.0, 65.0) // cell 0 (top-left)
+    val actions = df(
+      row(a._1, a._2, 104.0, 1.0, 0, 1, 0), // A → bottom-right, success
+      row(a._1, a._2, 104.0, 1.0, 0, 1, 1), // A → bottom-right, success
+      row(a._1, a._2, 50.0, 34.0, 0, 0, 2)) // A → mid, fail
+    val m = XThreat.fit(actions, eps = 1e-5)
+    val cellA = cellOf(a._1, a._2)
+    val cellBR = cellOf(104.0, 1.0)
+    assert(m.transition(cellA.toInt)(cellBR.toInt) == 2.0 / 3.0)
+    assert(m.transition(cellA.toInt).sum == 2.0 / 3.0)
+  }
+
+  test("value iteration converges and rate values successful moves only") {
+    val actions = df((0 until 200).map { i =>
+      row((i * 13 % 105).toDouble, (i * 7 % 68).toDouble,
+        (i * 29 % 105).toDouble, (i * 11 % 68).toDouble,
+        i % 23, i % 6, i.toLong)
+    }: _*)
+    val m = XThreat.fit(actions)
+    assert(m.iterations > 0 && m.iterations < 100)
+    assert(m.xT.forall(v => v >= 0.0 && v <= 1.0))
+    val rated = actions.withColumn("xt", XThreat.rateColumn(m))
+    val rows = rated.select("type_id", "result_id", "xt").collect()
+    rows.foreach { r =>
+      val isMove = Seq(0, 1, 21).contains(r.getInt(0)) && r.getInt(1) == 1
+      assert(r.isNullAt(2) != isMove)
+    }
+  }
+
+  test("JSON save/load roundtrip") {
+    val actions = df(
+      row(10, 10, 90, 34, 11, 1, 0),
+      row(20, 20, 80, 30, 0, 1, 1),
+      row(80, 30, 95, 34, 11, 1, 2))
+    val m = XThreat.fit(actions)
+    val (l, w, grid) = XThreat.gridFromJson(XThreat.toJson(m))
+    assert(l == m.l && w == m.w)
+    assert(grid.sameElements(m.xT))
+  }
+
+  test("bilinear interpolation matches grid at cell centers") {
+    val actions = df(
+      row(10, 10, 90, 34, 11, 1, 0),
+      row(20, 20, 80, 30, 0, 1, 1),
+      row(80, 30, 95, 34, 11, 1, 2))
+    val m = XThreat.fit(actions)
+    val cw = 105.0 / m.l
+    val ch = 68.0 / m.w
+    for (xi <- 1 until m.l - 1; yj <- 1 until m.w - 1) {
+      val cx = (xi + 0.5) * cw
+      val cy = (yj + 0.5) * ch
+      val expected = m.xT((m.w - 1 - yj) * m.l + xi)
+      assert(math.abs(XThreat.interpolate(m, cx, cy) - expected) < 1e-12)
+    }
+  }
+}
