@@ -14,7 +14,7 @@ object SparkEntry {
   def all: Seq[Q] =
     SpadlQueries.all ++ RelationalQueries.all ++ ConverterQueries.all ++ VaepQueries.all ++
       XtQueries.all ++ AtomicQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
+      AtomicVaepQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
       StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

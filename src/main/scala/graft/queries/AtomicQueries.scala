@@ -109,6 +109,10 @@ object AtomicQueries {
        |  FROM ${out}_s
        |  WHERE result_id IN (4, 5)""".stripMargin)
 
+  /** Full SPADL→atomic chain as a CTE block ending in `atomic`. */
+  private[queries] def fullChainCte: String =
+    s"${passesStage("actions", "c1")} ${dribblesStage("c1", "c2")} ${shotsStage("c2", "c3")} ${foulsStage("c3", "c4")}, atomic AS (\n$atomicProject\nFROM c4)"
+
   private val atomicProject =
     """SELECT game_id, action_id, period_id, time_seconds, team_id, player_id,
       |  start_x AS x, start_y AS y,
