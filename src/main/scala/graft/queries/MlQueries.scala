@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.core.{SynActions, Tables}
+import graft.vaep.{Features, GameStates, Labels, VaepModel}
+
+/** M1–M4 — the full VAEP ML chain: states → features → labels → seeded GBT
+  * pair → probabilities → value formula → per-action ratings. Learned-model
+  * outputs are not value-golden (the reference's own e2e suite doesn't
+  * golden them either); the driver records rows-only, and the spec asserts
+  * structure + metric quality gates. */
+object MlQueries {
+
+  def featureCols(k: Int): Array[String] = {
+    // a compact, numeric-only subset of the default feature set
+    val perState = (0 until k).flatMap { i =>
+      Seq(s"start_x_a$i", s"start_y_a$i", s"end_x_a$i", s"end_y_a$i",
+        s"start_dist_to_goal_a$i", s"start_angle_to_goal_a$i",
+        s"end_dist_to_goal_a$i", s"end_angle_to_goal_a$i",
+        s"dx_a$i", s"dy_a$i", s"movement_a$i",
+        s"period_id_a$i", s"time_seconds_overall_a$i")
+    }
+    (perState ++ (1 until k).flatMap(i => Seq(s"team_$i", s"time_delta_$i")) ++
+      Seq("goalscore_team", "goalscore_opponent", "goalscore_diff")).toArray
+  }
+
+  def assembled(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val actions = SynActions.fromEvents(Tables.events(s, dir))
+    val states = GameStates.withStates(actions, k)
+    val feats = (0 until k).flatMap { i =>
+      Features.time(i) ++ Features.startlocation(i) ++ Features.endlocation(i) ++
+        Features.startpolar(i) ++ Features.endpolar(i) ++ Features.movement(i)
+    } ++ (1 until k).flatMap(i => Features.team(i) ++ Features.timeDelta(i)) ++
+      Features.goalscore
+    val withF = states.select(
+      Seq(col("game_id"), col("action_id"), col("seq"), col("team_id"),
+        col("period_id"), col("time_seconds"), col("type_id"),
+        col("result_id")) ++ feats: _*)
+    Labels.concedes(Labels.scores(withF))
+  }
+
+  val all: Seq[Q] = Seq(
+    Q.rowsOnly("vaep_ml_rate") { (s, dir) =>
+      val data = assembled(s, dir).cache()
+      val fc = featureCols(3)
+      val model = VaepModel.fit(data, fc, maxIter = 10, maxDepth = 3, seed = 42L)
+      val rated = VaepModel.rate(model, data)
+      data.unpersist()
+      rated.select("game_id", "action_id", "seq", "scores_p", "concedes_p",
+        "offensive_value", "defensive_value", "vaep_value")
+    })
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.queries.MlQueries
+import graft.vaep.VaepModel
+
+/** M1–M4 structural + metric gates, mirroring the reference's e2e test
+  * shape (`tests/vaep/test_vaep.py` asserts columns/lengths/metrics, not
+  * values, because classifier output is model-dependent). */
+class VaepModelSpec extends SparkSpec {
+
+  test("fit → probabilities → value chain is complete, deterministic and sane") {
+    val dir = "/root/testdata/sf0.001"
+    val data = MlQueries.assembled(spark, dir).cache()
+    val n = data.count()
+    val fc = MlQueries.featureCols(3)
+    val model = VaepModel.fit(data, fc, maxIter = 5, maxDepth = 3, seed = 42L)
+
+    val rated = VaepModel.rate(model, data).cache()
+    assert(rated.count() == n) // every action rated
+    val row = rated.select("scores_p", "concedes_p", "vaep_value").collect()
+    row.foreach { r =>
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+      assert(!r.getDouble(2).isNaN)
+    }
+
+    // seeded determinism: refit produces identical probabilities
+    val model2 = VaepModel.fit(data, fc, maxIter = 5, maxDepth = 3, seed = 42L)
+    val p1 = VaepModel.estimateProbabilities(model, data)
+      .select("seq", "scores_p").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val p2 = VaepModel.estimateProbabilities(model2, data)
+      .select("seq", "scores_p").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p1 == p2)
+
+    // metric gates: brier in [0, 0.3], AUROC above chance on train data
+    val probs = VaepModel.estimateProbabilities(model, data)
+    val (brier, auroc) = VaepModel.score(probs, "scores", "scores_p")
+    assert(brier >= 0.0 && brier <= 0.3, s"brier $brier")
+    assert(auroc > 0.5, s"auroc $auroc")
+    data.unpersist()
+  }
+}
