@@ -136,7 +136,7 @@ object DedupQueries {
     Q("dedup_simhash_values",
       s"""$augCte
          |SELECT doc_id, $simhashSql AS simhash FROM aug""".stripMargin) { (s, dir) =>
-      augmented(s, dir).select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+      Dedup.simhashValues(augmented(s, dir))
     },
 
     Q("dedup_simhash_pairs",
