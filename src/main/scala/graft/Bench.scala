@@ -1,24 +1,90 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{SynActions, Tables, TokenCodec}
+import graft.streaming.SessionEngine
+import graft.vaep.{Features, GameStates, Labels}
+import graft.xt.XThreat
+
+/** Driver-run benchmark: times every registered query at the given SF and
+  * prints ONE JSON line. Also reports the BASELINE.md headline — end-to-end
+  * SPADL+VAEP/xT valuation throughput (action rows/sec) over the tokenized
+  * ingest surface — and the core count, so scaling runs at different
+  * parallelism are directly comparable. */
 object Bench {
+
+  /** The BASELINE metric job: tokens → decode → CEP normalize+label →
+    * VAEP feature projection → xT fit → rate. Returns (rows, seconds). */
+  def valuationPipeline(spark: SparkSession, sfDir: String): (Long, Double) =
+    valuationPipelineOn(spark, SynActions.fromEvents(Tables.events(spark, sfDir)))
+
+  def valuationPipelineOn(spark: SparkSession,
+                          actions: org.apache.spark.sql.DataFrame): (Long, Double) = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    val decoded = TokenCodec.decode(TokenCodec.encode(actions))
+      .withColumn("seq", col("action_id"))
+    // The normalized+labeled stream fans out to the xT fit aggregates, the
+    // feature projection, AND the rating pass — persist it once instead of
+    // re-running the normalizer per consumer (at 100 TB: a checkpointed
+    // intermediate table / reused shuffle output). Batch mode uses the
+    // declarative window chain (≡ the stateful CEP scan, cross-checked by
+    // the stream_cep_batch oracle) for Tungsten execution.
+    val valued = SessionEngine.runBatch(decoded)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = XThreat.fit(valued)
+    // goalscore windows over the NARROW frame, then states, then one
+    // window-free wide projection on top (see Features.defaultFeatures note)
+    val states = GameStates.withStates(Features.withGoalscore(valued), 3)
+    // states carries the a0 coordinates, so the rating is a projection on
+    // the same frame — no self-join.
+    val rated = states.select(
+      Seq(col("game_id"), col("action_id"), col("scores"), col("concedes"),
+        XThreat.rateColumn(model).as("xt_value")) ++
+        Features.defaultFeaturesPostGoalscore(3): _*)
+    // a count() would let Catalyst prune the feature projection away —
+    // force full evaluation through the no-op DSv2 sink, then count cheaply
+    rated.write.mode("overwrite").format("noop").save()
+    val rows = valued.count()
+    valued.unpersist(blocking = false)
+    (rows, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.codegen.maxFields", "1200")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warmup: touch every table and JIT the hot paths once at small scale
+    val warmDir = "/root/testdata/sf0.001"
+    try {
+      Seq("events", "documents", "embeddings", "lineitem", "orders")
+        .foreach(t => Tables.read(spark, sfDir, t).count())
+      valuationPipeline(spark, warmDir)
+    } catch { case _: Throwable => () }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink: forces full column evaluation (count() would be pruned)
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val (rows, pipeSec) = valuationPipeline(spark, sfDir)
+    val throughput = rows / pipeSec
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cores":$cpus,"valuation_rows":$rows,"valuation_sec":$pipeSec,"valuation_rows_per_sec":$throughput}""")
     spark.stop()
   }
 }

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Two-cluster-size scaling evidence (BASELINE.json north rule): runs the
+  * valuation pipeline at local[N] and local[4N] on the same input and
+  * reports throughput at both plus the scaling efficiency
+  * eff = (thr₄ₙ / thrₙ) / 4 — the achieved fraction of the ideal 4×
+  * speedup; the north rule asks ≥ 0.8.
+  *
+  * The sandbox host is time-shared, so single measurements can be skewed
+  * ~10× by steal time; runs at the two sizes are INTERLEAVED and each size
+  * takes its minimum (≈ uncontended) time. A raw CPU spin calibration is
+  * reported alongside: it bounds what any software can achieve on this box
+  * when quadrupling threads.
+  *
+  * Usage: runMain graft.ScalingBench [sfDir] [nSmall] [rounds] [k]
+  */
+object ScalingBench {
+
+  /** Deterministically replicate the events table `k`× (new event ids and
+    * players per replica) and widen the game-id space with it, so the
+    * measured job has enough independent per-game work (k·25 games) to
+    * expose real scaling rather than fixed driver overheads. Both cluster
+    * sizes get the identical input. */
+  def replicatedActions(spark: SparkSession, sfDir: String, k: Int) = {
+    import org.apache.spark.sql.functions._
+    import graft.core.{SynActions, Tables}
+    // the source parquet is one small file = ONE scan task; spread the rows
+    // before the k× explode so row synthesis parallelizes
+    val events = Tables.events(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+    val rep = events
+      .select(explode(sequence(lit(0L), lit(k - 1L))).as("r"), col("*"))
+      .select(
+        (col("event_id") * k + col("r")).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("r") * 16).as("user_id"))
+    SynActions.fromEvents(rep, numGames = SynActions.NumGames * k)
+  }
+
+  /** Compute-bound corpus job: MinHash signatures + SimHash values +
+    * fingerprints over a k×-replicated documents table (texts perturbed per
+    * replica so hashes differ). Pure hash compute + one aggregation shuffle
+    * per operator — the scale-out shape of corpus dedup at 100 TB, and a
+    * memory-light counterpoint to the (bandwidth-bound) wide feature job. */
+  def corpusJob(spark: SparkSession, sfDir: String, k: Int): (Long, Double) = {
+    import org.apache.spark.sql.functions._
+    import graft.core.Tables
+    import graft.dedup.Dedup
+    import graft.text.TextOps
+    val t0 = System.nanoTime()
+    val docs = Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+      .select(explode(sequence(lit(0L), lit(k - 1L))).as("r"), col("doc_id"), col("text"))
+      .select((col("doc_id") * k + col("r")).as("doc_id"),
+        concat(col("text"), lit(" v"), col("r")).as("text"))
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    noop(Dedup.minhashSignatures(docs))
+    noop(Dedup.simhashValues(docs))
+    noop(docs.select(col("doc_id"), TextOps.polyHash(col("text")).as("ph"),
+      TextOps.fingerprint(col("text")).as("fp")))
+    val rows = docs.count()
+    (rows, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** One timed run of both jobs in a fresh local[cores] session:
+    * (valuation rows, valuation sec, corpus rows, corpus sec). */
+  def runOnce(cores: Int, sfDir: String, k: Int): (Long, Double, Long, Double) = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.codegen.maxFields", "1200")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Bench.valuationPipeline(spark, "/root/testdata/sf0.001") // JIT/codegen warmup
+    corpusJob(spark, "/root/testdata/sf0.001", 2)
+    val actions = replicatedActions(spark, sfDir, k)
+    val out = Bench.valuationPipelineOn(spark, actions)
+    val corpus = corpusJob(spark, sfDir, k * 3)
+    spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    (out._1, out._2, corpus._1, corpus._2)
+  }
+
+  /** Raw CPU scaling ceiling: spin-loop throughput ratio at 4N vs N threads. */
+  def cpuCeiling(n: Int): Double = {
+    def spin(threads: Int): Double = {
+      val counts = new java.util.concurrent.atomic.AtomicLongArray(threads)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val ts = (0 until threads).map { i =>
+        new Thread(() => {
+          var x = 0L
+          while (!stop.get()) { x += 1; if ((x & 0xFFFFF) == 0) counts.set(i, x) }
+          counts.set(i, x)
+        })
+      }
+      ts.foreach(_.start())
+      Thread.sleep(3000)
+      stop.set(true)
+      ts.foreach(_.join())
+      (0 until threads).map(counts.get).sum.toDouble / 3.0
+    }
+    val small = spin(n)
+    val large = spin(n * 4)
+    large / small
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val nSmall = args.lift(1).map(_.toInt).getOrElse(8)
+    val rounds = args.lift(2).map(_.toInt).getOrElse(3)
+    val k = args.lift(3).map(_.toInt).getOrElse(20)
+    val nLarge = nSmall * 4
+
+    val ceiling = cpuCeiling(nSmall)
+
+    var rows = 0L
+    var corpusRows = 0L
+    val results = (1 to rounds).map { r =>
+      val (rs, ts, cs, tcs) = runOnce(nSmall, sfDir, k)
+      val (rl, tl, cl, tcl) = runOnce(nLarge, sfDir, k)
+      require(rs == rl && cs == cl, s"row counts differ: $rs/$rl $cs/$cl")
+      rows = rs
+      corpusRows = cs
+      System.err.println(
+        f"round $r: valuation small=$ts%.1fs large=$tl%.1fs | corpus small=$tcs%.1fs large=$tcl%.1fs")
+      (ts, tl, tcs, tcl)
+    }
+
+    def report(name: String, n: Long, small: Seq[Double], large: Seq[Double]): Unit = {
+      val secS = small.min
+      val secL = large.min
+      val thrS = n / secS
+      val thrL = n / secL
+      println(
+        s"""{"metric":"scaling_$name","sf":"$sfDir","rows":$n,"cores_small":$nSmall,"sec_small":$secS,"rows_per_sec_small":$thrS,"cores_large":$nLarge,"sec_large":$secL,"rows_per_sec_large":$thrL,"speedup":${thrL / thrS},"scaling_efficiency":${(thrL / thrS) / 4.0},"cpu_spin_ceiling_speedup":$ceiling,"efficiency_vs_ceiling":${(thrL / thrS) / ceiling},"times_small":[${small.mkString(",")}],"times_large":[${large.mkString(",")}]}""")
+    }
+    report("valuation", rows, results.map(_._1), results.map(_._2))
+    report("corpus", corpusRows, results.map(_._3), results.map(_._4))
+  }
+}

@@ -27,9 +27,11 @@ object SynActions {
   val W = Window.partitionBy("game_id", "period_id").orderBy("time_seconds", "seq")
   val Wg = Window.partitionBy("game_id").orderBy("period_id", "time_seconds", "seq")
 
-  def fromEvents(events: DataFrame): DataFrame = {
+  def fromEvents(events: DataFrame): DataFrame = fromEvents(events, NumGames)
+
+  def fromEvents(events: DataFrame, numGames: Long): DataFrame = {
     val base = events.select(
-      (col("event_id") % NumGames).as("game_id"),
+      (col("event_id") % numGames).as("game_id"),
       (lit(1) + col("user_id") % 2).cast("int").as("period_id"),
       // parquet ts is TIMESTAMP_NTZ; cast interprets it in the session tz
       // (pinned UTC), matching DuckDB's epoch_us on the naive timestamp.

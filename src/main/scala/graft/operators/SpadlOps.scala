@@ -166,4 +166,18 @@ object SpadlOps {
     * Reference `socceraction/spadl/statsbomb.py:110,116`. */
   def resequence(actions: DataFrame): DataFrame =
     actions.withColumn("action_id", row_number().over(Wg).cast("long") - 1)
+
+  /** The batch normalizer+labeler: clearance repair → resequence → dribble
+    * synthesis → k=10 lookahead labels, as ONE declarative window chain.
+    * Semantically identical to the stateful scan
+    * (graft.streaming.SessionEngine.processGame — cross-checked by the
+    * stream_cep_batch oracle), but runs entirely in Tungsten rows and
+    * whole-stage codegen: no per-row JVM objects, so it scales with memory
+    * bandwidth instead of allocator throughput. All window specs share the
+    * game_id partitioning — Catalyst plans one exchange. */
+  def normalizeAndLabel(actions: DataFrame, nrActions: Int = 10): DataFrame = {
+    import graft.vaep.Labels
+    Labels.concedes(Labels.scores(
+      addDribbles(resequence(fixClearances(actions))), nrActions), nrActions)
+  }
 }

@@ -184,14 +184,35 @@ object Features {
   }
 
   /** The default VAEP feature set (reference `vaep/base.py:38-53`), for
-    * game states of size k — ~154 columns at k=3 in one projection. */
-  def defaultFeatures(k: Int): Seq[Column] = {
+    * game states of size k — ~154 columns at k=3 in one projection.
+    *
+    * PLAN SHAPE WARNING: `goalscore` contains window expressions; putting it
+    * in the same select as the ~550 onehot columns makes Catalyst run the
+    * goalscore WindowExec (sort + buffer) over the already-wide projected
+    * rows — measured 5× slower at 2.6M rows. Prefer
+    * `withGoalscore(narrowDf)` first, then project
+    * `defaultFeaturesPostGoalscore(k)` on top (no window above the wide
+    * projection). */
+  def defaultFeatures(k: Int): Seq[Column] =
+    statelessFeatures(k) ++ goalscore
+
+  /** Same set, but referencing precomputed goalscore_* columns (see
+    * `withGoalscore`) so the final projection is window-free. */
+  def defaultFeaturesPostGoalscore(k: Int): Seq[Column] =
+    statelessFeatures(k) ++
+      Seq(col("goalscore_team"), col("goalscore_opponent"), col("goalscore_diff"))
+
+  private def statelessFeatures(k: Int): Seq[Column] = {
     val perState = (0 until k).flatMap { i =>
       actiontypeOnehot(i) ++ resultOnehot(i) ++ actiontypeResultOnehot(i) ++
         bodypartOnehot(i) ++ time(i) ++ startlocation(i) ++ endlocation(i) ++
         startpolar(i) ++ endpolar(i) ++ movement(i)
     }
-    val state = (1 until k).flatMap(i => team(i) ++ timeDelta(i) ++ spaceDelta(i))
-    perState ++ state ++ goalscore
+    perState ++ (1 until k).flatMap(i => team(i) ++ timeDelta(i) ++ spaceDelta(i))
   }
+
+  /** Attach goalscore_* to a narrow action frame (windows run over the
+    * 14-column rows, not the wide feature rows). */
+  def withGoalscore(actions: DataFrame): DataFrame =
+    actions.select(col("*") +: goalscore: _*)
 }
