@@ -12,7 +12,7 @@ object SparkEntry {
   /** All registered operators. Each Q pairs the Spark implementation with a
     * value-golden DuckDB oracle (or rows-only when not SQL-expressible). */
   def all: Seq[Q] =
-    SpadlQueries.all ++ RelationalQueries.all ++ ConverterQueries.all ++ VaepQueries.all ++
+    SpadlQueries.all ++ RepairQueries.all ++ RelationalQueries.all ++ ConverterQueries.all ++ VaepQueries.all ++
       XtQueries.all ++ AtomicQueries.all ++ TextQueries.all ++
       AtomicVaepQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
       MlQueries.all ++ StreamingQueries.all

@@ -115,6 +115,41 @@ object SessionEngine {
 
   val SessionGapMs: Long = 30 * 60 * 1000L
 
+  final case class TimedAction(eventTime: java.sql.Timestamp, action: ActionRow)
+
+  /** Event-time mode (north star §2.12): events carry an event-time column
+    * with a watermark; a game's session closes when the watermark passes
+    * max(event time) + gap — late events beyond the watermark are dropped by
+    * the engine, so identical input stream + watermark ⇒ identical output.
+    */
+  def runStreamingEventTime(events: Dataset[TimedAction],
+                            watermarkDelay: String = "10 minutes",
+                            gapMs: Long = SessionGapMs): Dataset[ValuedAction] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("eventTime", watermarkDelay)
+      .groupByKey(_.action.game_id)
+      .flatMapGroupsWithState[GameBuffer, ValuedAction](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (gameId: Long, rows: Iterator[TimedAction], state: GroupState[GameBuffer]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(b => processGame(b.actions)).getOrElse(IndexedSeq.empty)
+            state.remove()
+            out.iterator
+          } else {
+            val batch = rows.toList
+            val prev = state.getOption.getOrElse(GameBuffer(Nil, 0L))
+            val maxMs = (prev.maxEventMs +: batch.map(_.eventTime.getTime)).max
+            state.update(GameBuffer(prev.actions ++ batch.map(_.action), maxMs))
+            // close the session once the event-time watermark passes the
+            // last seen event + gap
+            state.setTimeoutTimestamp(maxMs + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming mode: per-game buffered state; a processing-time timeout
     * after `gapMs` of silence closes the match session and emits the
     * fully-normalized, labeled action sequence exactly once. */

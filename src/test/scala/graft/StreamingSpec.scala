@@ -53,6 +53,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("event-time session: watermark past gap closes the game, late data dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SessionEngine.TimedAction
+    val input = MemoryStream[TimedAction]
+    val out = SessionEngine.runStreamingEventTime(input.toDS(),
+      watermarkDelay = "0 seconds", gapMs = 1000L)
+    val query = out.writeStream
+      .format("memory").queryName("cep_et").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt-et").toString)
+      .start()
+    try {
+      def ts(ms: Long) = new java.sql.Timestamp(ms)
+      val rows = mkRows(1, 12)
+      val base = 1700000000000L
+      input.addData(rows.map(a => TimedAction(ts(base + a.seq * 100), a)))
+      query.processAllAvailable()
+      assert(spark.table("cep_et").count() == 0) // watermark not past gap yet
+      // an event far in the future for ANOTHER game advances the watermark
+      input.addData(Seq(TimedAction(ts(base + 3600 * 1000), mkRows(2, 1).head)))
+      query.processAllAvailable()
+      // timeout fires on the NEXT batch after the watermark advanced
+      input.addData(Seq(TimedAction(ts(base + 3601 * 1000), mkRows(3, 1).head)))
+      query.processAllAvailable()
+      val expected = SessionEngine.processGame(rows)
+      val got = spark.table("cep_et").filter($"game_id" === 1L)
+      assert(got.count() == expected.length)
+      // a LATE event for game 1 (behind the watermark) must not reopen it
+      input.addData(Seq(TimedAction(ts(base + 500), rows.head.copy(seq = 99L))))
+      query.processAllAvailable()
+      input.addData(Seq(TimedAction(ts(base + 3602 * 1000), mkRows(4, 1).head)))
+      query.processAllAvailable()
+      assert(spark.table("cep_et").filter($"game_id" === 1L).count() == expected.length)
+    } finally query.stop()
+  }
+
   test("snapshot sink: atomic versions, lineage, idempotent replay") {
     val dir = Files.createTempDirectory("snap").toString
     val table = new SnapshotTable(dir)
