@@ -59,6 +59,33 @@ object SimilarityQueries {
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), queriesDf(s, dir), 10)
     },
 
+    // embedding-cosine near-duplicate detection: candidate pairs from the
+    // LSH bucket equi-join, verified with the exact (bit-identical) cosine.
+    Q("dedup_embedding_cosine",
+      s"""WITH aug AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0
+         |), e AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM aug
+         |)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${cosineSql("a.embedding", "b.embedding")} AS cosine
+         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.6""".stripMargin) { (s, dir) =>
+      val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val dups = base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      val e = base.unionByName(dups)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.lshBucket(col("embedding")).as("bucket"))
+      e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
+        .filter(col("cosine") >= 0.6)
+    },
+
     Q("sim_lsh_ann",
       s"""WITH e AS (
          |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings
