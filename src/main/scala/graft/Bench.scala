@@ -73,18 +73,22 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      // noop sink: forces full column evaluation (count() would be pruned)
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // noop sink: forces full column evaluation (count() would be pruned);
+      // a query that throws reports -1 so a regression never reads as a speedup
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable => System.err.println(s"BENCH FAIL $name: $e"); false }
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val (rows, pipeSec) = valuationPipeline(spark, sfDir)
     val throughput = rows / pipeSec
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cores":$cpus,"valuation_rows":$rows,"valuation_sec":$pipeSec,"valuation_rows_per_sec":$throughput}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","cores":$cpus,"valuation_rows":$rows,"valuation_sec":$pipeSec,"valuation_rows_per_sec":$throughput}""")
     spark.stop()
   }
 }

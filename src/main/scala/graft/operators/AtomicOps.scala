@@ -155,7 +155,7 @@ object AtomicOps {
     val d2 = dxc * dxc + dyc * dyc
     val cond = (col("team_id") === col("nx_team_id")) &&
       (col("nx_type_id") =!= TypeFoul) &&
-      (col("nx_type_id") =!= TypeShot || col("nx_bodypart_id") =!= BodypartHead) &&
+      (col("nx_type_id") =!= TypeShot) && (col("nx_bodypart_id") =!= BodypartHead) &&
       (d2 >= SpadlOps.MinDribbleLength * SpadlOps.MinDribbleLength) &&
       (d2 <= SpadlOps.MaxDribbleLength * SpadlOps.MaxDribbleLength) &&
       (col("nx_time_seconds") - col("time_seconds") < SpadlOps.MaxDribbleDuration) &&

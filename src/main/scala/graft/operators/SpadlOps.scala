@@ -59,8 +59,10 @@ object SpadlOps {
 
   /** N2 — synthesize a `dribble` action between consecutive same-team
     * actions whose gap is 3–60 m, <10 s, same period, and where the next
-    * action is neither a foul nor a headed shot; then resort and resequence
-    * `action_id`. Reference `socceraction/spadl/base.py:38-91`.
+    * action is not a foul, not a shot, and not headed (the reference's
+    * `not_headed_shot` is a conjunction of two independent conditions:
+    * `base.py:46-48`); then resort and resequence `action_id`.
+    * Reference `socceraction/spadl/base.py:38-91`.
     *
     * Formulated as: project each row plus its lead-1 neighbor, emit the
     * conditional dribble rows, union with the base rows, and resequence with
@@ -88,7 +90,7 @@ object SpadlOps {
     val d2 = dxc * dxc + dyc * dyc
     val cond = (col("team_id") === col("nx_team_id")) &&
       (col("nx_type_id") =!= TypeFoul) &&
-      (col("nx_type_id") =!= TypeShot || col("nx_bodypart_id") =!= BodypartHead) &&
+      (col("nx_type_id") =!= TypeShot) && (col("nx_bodypart_id") =!= BodypartHead) &&
       (d2 >= MinDribbleLength * MinDribbleLength) &&
       (d2 <= MaxDribbleLength * MaxDribbleLength) &&
       (col("nx_time_seconds") - col("time_seconds") < MaxDribbleDuration) &&

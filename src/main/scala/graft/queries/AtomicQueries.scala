@@ -77,7 +77,7 @@ object AtomicQueries {
        |    CAST(21 AS INT) AS type_id, CAST(1 AS INT) AS result_id, CAST(0 AS INT) AS bodypart_id, seq
        |  FROM ${out}_s
        |  WHERE team_id = nx_team_id AND nx_type_id <> 8
-       |    AND (nx_type_id <> 11 OR nx_bodypart_id <> 1)
+       |    AND nx_type_id <> 11 AND nx_bodypart_id <> 1
        |    AND (end_x - nx_start_x) * (end_x - nx_start_x) + (end_y - nx_start_y) * (end_y - nx_start_y) >= 9.0
        |    AND (end_x - nx_start_x) * (end_x - nx_start_x) + (end_y - nx_start_y) * (end_y - nx_start_y) <= 3600.0
        |    AND nx_time_seconds - time_seconds < 10.0

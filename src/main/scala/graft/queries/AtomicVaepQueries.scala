@@ -76,8 +76,8 @@ object AtomicVaepQueries {
          |  WINDOW wg AS (PARTITION BY game_id ORDER BY period_id, action_id)
          |), cum AS (
          |  SELECT *,
-         |    coalesce(sum(goal_a) OVER wp, 0) AS score_a,
-         |    coalesce(sum(goal_b) OVER wp, 0) AS score_b
+         |    CAST(coalesce(sum(goal_a) OVER wp, 0) AS BIGINT) AS score_a,
+         |    CAST(coalesce(sum(goal_b) OVER wp, 0) AS BIGINT) AS score_b
          |  FROM g
          |  WINDOW wp AS (PARTITION BY game_id ORDER BY period_id, action_id
          |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)

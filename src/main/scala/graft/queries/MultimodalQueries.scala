@@ -29,12 +29,26 @@ object MultimodalQueries {
         .select("doc_id", "n_bytes", "width", "height", "channels", "mean_byte")
     },
 
-    Q.rowsOnly("multimodal_features") { (s, dir) =>
-      // fixed-shape feature vectors + frame samples: binary-array plumbing
+    // Fixed-shape feature vectors + frame samples: binary-array plumbing.
+    // The 8 feature lanes are projected to scalar columns (the gate can't
+    // sort raw arrays); the oracle recomputes each lane from the md5 bytes
+    // in FLOAT arithmetic matching the kernel's float32 math exactly.
+    Q("multimodal_features", {
+      val laneSql = (0 until Multimodal.FeatureDim).map { i =>
+        val j = (i * 3 + 1) % 16
+        s"CAST((${byteSql(i % 16)} + ${byteSql(j)}) AS FLOAT) / CAST(510 AS FLOAT) AS feature_$i"
+      }.mkString(",\n  ")
+      s"""SELECT doc_id,
+         |  $laneSql,
+         |  CAST(4 AS INT) AS n_frames
+         |FROM documents""".stripMargin
+    }) { (s, dir) =>
       val decoded = Multimodal.decodeDocuments(s, Tables.documents(s, dir)).toDF()
       val framed = Multimodal.withPayload(Tables.documents(s, dir))
         .select(col("doc_id"), Multimodal.frameSample(col("payload"), 4).as("frames"))
+      val lanes = (0 until Multimodal.FeatureDim).map(i =>
+        element_at(col("features"), i + 1).as(s"feature_$i"))
       decoded.join(framed, "doc_id")
-        .select(col("doc_id"), col("features"), size(col("frames")).as("n_frames"))
+        .select(Seq(col("doc_id")) ++ lanes ++ Seq(size(col("frames")).as("n_frames")): _*)
     })
 }

@@ -18,27 +18,31 @@ object RelationalQueries {
 
   val all: Seq[Q] = Seq(
 
+    // DuckDB's sum() widens (BIGINT→HUGEINT, DECIMAL(18,2)→DECIMAL(38,2))
+    // while Spark keeps BIGINT / DECIMAL(28,2); both sides therefore cast the
+    // FINAL aggregate — BIGINT for counts, DOUBLE for money (the decimal sum
+    // is exact, so the double conversion is deterministic and identical).
     Q("q1_agg",
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+          sum(col("l_quantity").cast("bigint")).cast("bigint").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
           sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1) - col("l_discount")).cast("decimal(18,2)")).as("sum_disc_price"),
+            (lit(1) - col("l_discount")).cast("decimal(18,2)")).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     },
 
     Q("q2_join_agg",
       """SELECT n.n_name,
         |  count(*) AS n_orders,
-        |  sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders o
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -48,7 +52,7 @@ object RelationalQueries {
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
     },
 
     Q("q3_topk_window",
@@ -97,8 +101,8 @@ object RelationalQueries {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), s AS (
         |  SELECT user_id, event_id, us,
-        |    sum(boundary) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM g
         |)
         |SELECT user_id, session_id, count(*) AS n_events,

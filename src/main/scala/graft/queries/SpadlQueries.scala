@@ -97,7 +97,7 @@ object SpadlQueries {
          |    CAST(0 AS INT) AS bodypart_id, seq
          |  FROM nx
          |  WHERE team_id = nx_team_id AND nx_type_id <> 8
-         |    AND (nx_type_id <> 11 OR nx_bodypart_id <> 1)
+         |    AND nx_type_id <> 11 AND nx_bodypart_id <> 1
          |    AND (end_x - nx_start_x) * (end_x - nx_start_x) + (end_y - nx_start_y) * (end_y - nx_start_y) >= 9.0
          |    AND (end_x - nx_start_x) * (end_x - nx_start_x) + (end_y - nx_start_y) * (end_y - nx_start_y) <= 3600.0
          |    AND nx_time_seconds - time_seconds < 10.0

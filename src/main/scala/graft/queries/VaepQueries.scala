@@ -176,8 +176,8 @@ object VaepQueries {
          |  WINDOW wg AS (PARTITION BY game_id ORDER BY period_id, time_seconds, seq)
          |), cum AS (
          |  SELECT *,
-         |    coalesce(sum(goal_a) OVER wp, 0) AS score_a,
-         |    coalesce(sum(goal_b) OVER wp, 0) AS score_b
+         |    CAST(coalesce(sum(goal_a) OVER wp, 0) AS BIGINT) AS score_a,
+         |    CAST(coalesce(sum(goal_b) OVER wp, 0) AS BIGINT) AS score_b
          |  FROM g
          |  WINDOW wp AS (PARTITION BY game_id ORDER BY period_id, time_seconds, seq
          |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)

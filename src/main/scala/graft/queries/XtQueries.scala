@@ -23,12 +23,14 @@ object XtQueries {
 
   val all: Seq[Q] = Seq(
 
+    // DuckDB sum(INT) widens to HUGEINT; cast the final aggregate back to
+    // BIGINT to match Spark's sum-of-long output type.
     Q("xt_cell_stats",
       s"""$OracleCte
          |SELECT $cellSql AS cell,
-         |  sum(CASE WHEN type_id = 11 THEN 1 ELSE 0 END) AS shots,
-         |  sum(CASE WHEN type_id = 11 AND result_id = 1 THEN 1 ELSE 0 END) AS goals,
-         |  sum(CASE WHEN $moveSql THEN 1 ELSE 0 END) AS moves
+         |  CAST(sum(CASE WHEN type_id = 11 THEN 1 ELSE 0 END) AS BIGINT) AS shots,
+         |  CAST(sum(CASE WHEN type_id = 11 AND result_id = 1 THEN 1 ELSE 0 END) AS BIGINT) AS goals,
+         |  CAST(sum(CASE WHEN $moveSql THEN 1 ELSE 0 END) AS BIGINT) AS moves
          |FROM actions
          |GROUP BY 1""".stripMargin) { (s, dir) =>
       XThreat.cellStats(actions(s, dir))

@@ -65,7 +65,7 @@ object SessionEngine {
         val d2 = dx * dx + dy * dy
         val cond = a.team_id == nx.team_id &&
           nx.type_id != Spadl.TypeFoul &&
-          !(nx.type_id == Spadl.TypeShot && nx.bodypart_id == Spadl.BodypartHead) &&
+          nx.type_id != Spadl.TypeShot && nx.bodypart_id != Spadl.BodypartHead &&
           d2 >= 9.0 && d2 <= 3600.0 &&
           nx.time_seconds - a.time_seconds < 10.0 &&
           a.period_id == nx.period_id

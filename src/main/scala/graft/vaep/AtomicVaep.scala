@@ -47,6 +47,15 @@ object AtomicVaep {
     }
   }
 
+  /** DELIBERATE DEVIATION from the reference: socceraction's atomic
+    * actiontypes list contains "interception" twice (ids 10 and 24,
+    * `atomic/spadl/config.py:26-37`), and its dict-based one-hot lets the
+    * id-24 entry overwrite id 10 — so upstream's `actiontype_interception`
+    * column tests `type_id == 24` and is effectively always False (the
+    * converter only emits id 10). Here the duplicate is dropped and the
+    * column fires on REAL interceptions (`type_id == 10`). Strict-parity
+    * consumers should note atomic interception one-hots differ from
+    * upstream's always-False column. */
   def actiontypeOnehot(i: Int): Seq[Column] =
     Spadl.atomicActiontypes.zipWithIndex
       .filterNot(_._1 == "interception_atomic_dup") // never produced (base id 10 reused)

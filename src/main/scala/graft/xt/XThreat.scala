@@ -165,7 +165,16 @@ object XThreat {
 
   /** M8 — closed-form bilinear interpolation over cell centers (replaces the
     * reference's scipy `interp2d`, `xthreat.py:347-378`): value at (x, y)
-    * interpolates the 4 surrounding cell-center values, clamped at borders. */
+    * interpolates the 4 surrounding cell-center values, clamped at borders.
+    *
+    * DELIBERATE DEVIATION: the reference pairs xT row 0 (the HIGH-y band,
+    * since the flat index is (w−1−yj)·l+xi) with the LOWEST-y cell center
+    * when building its interp2d input, producing a vertically mirrored
+    * surface that `rate(use_interpolation=True)` then indexes with another
+    * flip. This implementation maps rows to physical y directly, so
+    * interpolated values differ from socceraction's at any y-asymmetric
+    * point — parity tests against upstream's interpolated ratings are not
+    * expected to match (the non-interpolated path IS value-identical). */
   def interpolate(model: Model, x: Double, y: Double): Double = {
     val cw = Spadl.FieldLength / model.l
     val ch = Spadl.FieldWidth / model.w

@@ -37,7 +37,7 @@ class SessionEngineSpec extends SparkSpec {
     assert(out.map(_.action_id) == IndexedSeq(0L, 1L, 2L))
   }
 
-  test("no dribble when: diff team / too far / too slow / cross-period / foul or headed shot next") {
+  test("no dribble when: diff team / too far / too slow / cross-period / foul, shot, or headed next") {
     def n(rows: Seq[ActionRow]) = SessionEngine.processGame(rows).length
     assert(n(Seq(a(0, 0, 1, 0, 1, 10, 10, 20, 20), a(1, 5, 2, 0, 1, 30, 20, 40, 20))) == 2)
     assert(n(Seq(a(0, 0, 1, 0, 1, 10, 10, 20, 20), a(1, 5, 1, 0, 1, 90, 20, 95, 20))) == 2)
@@ -48,9 +48,14 @@ class SessionEngineSpec extends SparkSpec {
       a(1, 5, 1, Spadl.TypeFoul, 1, 30, 20, 40, 20))) == 2)
     assert(n(Seq(a(0, 0, 1, 0, 1, 10, 10, 20, 20),
       a(1, 5, 1, Spadl.TypeShot, 1, 30, 20, 40, 20, bp = Spadl.BodypartHead))) == 2)
-    // headed NON-shot still gets a dribble
+    // headed NON-shot is ALSO suppressed: the reference's not_headed_shot is
+    // (next.type != shot) AND (next.bodypart != head) — two independent
+    // conditions (base.py:46-48), not just "headed shot".
     assert(n(Seq(a(0, 0, 1, 0, 1, 10, 10, 20, 20),
-      a(1, 5, 1, 0, 1, 30, 20, 40, 20, bp = Spadl.BodypartHead))) == 3)
+      a(1, 5, 1, 0, 1, 30, 20, 40, 20, bp = Spadl.BodypartHead))) == 2)
+    // footed NON-shot shot-type is also suppressed (any shot next)
+    assert(n(Seq(a(0, 0, 1, 0, 1, 10, 10, 20, 20),
+      a(1, 5, 1, Spadl.TypeShot, 1, 30, 20, 40, 20))) == 2)
   }
 
   test("labels: scoring shot marks the 10-action lookback window") {
