@@ -19,8 +19,13 @@ object Dedup {
   def md5Hash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
-  /** Word n-gram shingles (distinct). */
-  def shingles(text: Column, n: Int = 3): Column = {
+  /** Word n-gram shingles (distinct, first-occurrence order). Codegen'd
+    * kernel; value-identical to [[shinglesHof]] (KernelsSpec asserts). */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.TextExpressions.shingles(text, n)
+
+  /** Round-1 HOF formulation — parity baseline only (interpreted lambdas). */
+  def shinglesHof(text: Column, n: Int = 3): Column = {
     val w = TextOps.tokens(text)
     array_distinct(transform(sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(w, i, lit(n)))))
@@ -41,18 +46,41 @@ object Dedup {
       .filter(col("doc_id") =!= col("canonical_id"))
   }
 
+  /** Default document-frequency cap: shingles appearing in more than this
+    * many documents (boilerplate, stopword runs) are excluded from pair
+    * generation. Without a cap, ONE hot shingle with df = d contributes
+    * d·(d−1)/2 candidate pairs — quadratic blowup at corpus scale; with the
+    * cap, per-shingle work is bounded by DfCap²/2 and total work by
+    * |shingles|·DfCap²/2. Pairs whose overlap is exclusively hot shingles
+    * are dropped (standard near-dup practice: boilerplate overlap is not
+    * duplication evidence); for pairs that survive, `jaccard` is computed
+    * from capped intersections only, i.e. a conservative underestimate. */
+  val DefaultDfCap = 128
+
   /** Candidate near-duplicate pairs with exact n-gram Jaccard ≥ threshold.
-    * Pair generation via the shingle inverted index (explode → self-equi-join
-    * on shingle → per-pair intersection count), the scalable formulation:
-    * work is proportional to Σ_s df(s)², not |docs|². */
-  def jaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    *
+    * Physical shape (the one that survives 100 TB): postings are shuffled
+    * by shingle ONCE — a window count(df) and the postings-list aggregation
+    * share the same exchange — hot shingles are dropped BEFORE any list is
+    * materialized (bounded ≤ dfCap memory per group), and pairs come from a
+    * double explode of each capped postings list (work ∝ Σ_s min(df,cap)²)
+    * instead of a second self-join shuffle. */
+  def jaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                   dfCap: Int = DefaultDfCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = documents.select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.as("a")
-    val b = sh.as("b")
-    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val wSh = Window.partitionBy("shingle")
+    val lists = sh
+      .withColumn("df", count(lit(1)).over(wSh))
+      .filter(col("df") >= 2 && col("df") <= dfCap) // singletons pair nothing; hot = capped
+      .groupBy("shingle")
+      .agg(collect_list("doc_id").as("ids"))
+    val inter = lists
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
@@ -158,13 +186,23 @@ object Dedup {
         when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-duplicate pairs: bucket by the 4 × 8-bit sub-keys (docs
-    * within Hamming distance 3 share at least one), verify with bit_count. */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** SimHash near-duplicate pairs, bucketed by `32/bandBits` sub-keys of
+    * `bandBits` bits each and verified with bit_count. The pigeonhole
+    * guarantee needs nBands ≥ maxHamming + 1 (any two hashes within Hamming
+    * h differ in ≤ h bands, so they share ≥ nBands − h); the default 4 × 8
+    * bits covers Hamming ≤ 3. At corpus scale, bucket occupancy ≈
+    * N / 2^bandBits per band — shrink bandBits (more, narrower bands) only
+    * for higher Hamming radii, and widen it (e.g. 2 × 16 bits for Hamming
+    * ≤ 1) to keep occupancy bounded as N grows. */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3, bandBits: Int = 8): DataFrame = {
+    val nBands = SimhashBits / bandBits
+    require(nBands >= maxHamming + 1,
+      s"need ≥ ${maxHamming + 1} bands for Hamming ≤ $maxHamming, got $nBands")
+    val mask = (1L << bandBits) - 1
     val sh = simhashValues(documents)
     val banded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 8).bitwiseAND(0xFF)): _*)).as(Seq("band_id", "band_key")))
+      posexplode(array((0 until nBands).map(b =>
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(mask)): _*)).as(Seq("band_id", "band_key")))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_key") === col("b.band_key") &&

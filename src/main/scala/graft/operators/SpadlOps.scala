@@ -140,14 +140,22 @@ object SpadlOps {
     * first-ignoring-nulls window. Reference `socceraction/spadl/opta.py:202-241`.
     */
   def nextRealActionStart(actions: DataFrame): DataFrame = {
-    val wFollow = Wg.rowsBetween(1, Window.unboundedFollowing)
+    // "First non-non_action AFTER current" in ascending order ≡ "nearest
+    // non-null BEFORE current" in descending order. The descending
+    // (unboundedPreceding, -1) frame is a growing frame WindowExec processes
+    // incrementally — O(n) per game — whereas the ascending
+    // (1, unboundedFollowing) form is a shrinking frame recomputed per row
+    // (O(n²) on long no-real-action stretches; the round-1 bottleneck).
+    val wDesc = Window.partitionBy("game_id")
+      .orderBy(col("period_id").desc, col("time_seconds").desc, col("seq").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     actions
       .withColumn("next_real_x",
-        first(when(col("type_id") =!= TypeNonAction, col("start_x")), ignoreNulls = true)
-          .over(wFollow))
+        last(when(col("type_id") =!= TypeNonAction, col("start_x")), ignoreNulls = true)
+          .over(wDesc))
       .withColumn("next_real_y",
-        first(when(col("type_id") =!= TypeNonAction, col("start_y")), ignoreNulls = true)
-          .over(wFollow))
+        last(when(col("type_id") =!= TypeNonAction, col("start_y")), ignoreNulls = true)
+          .over(wDesc))
   }
 
   /** N7 (Opta) — pass deflected by an opponent touch then recovered by the

@@ -84,14 +84,20 @@ object DedupQueries {
         .select("doc_id", "canonical_id", "group_size")
     },
 
+    // The df-cap (HAVING ≤ DefaultDfCap) mirrors Dedup.jaccardPairs — hot
+    // boilerplate shingles are excluded from pair generation on BOTH sides.
     Q("dedup_ngram_jaccard",
       s"""$augCte, sh AS (
          |  SELECT doc_id, unnest($shinglesSql) AS shingle FROM aug
          |), sizes AS (
          |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+         |), keep AS (
+         |  SELECT shingle FROM sh GROUP BY shingle
+         |  HAVING count(*) >= 2 AND count(*) <= ${Dedup.DefaultDfCap}
          |), inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  WHERE a.shingle IN (SELECT shingle FROM keep)
          |  GROUP BY 1, 2
          |)
          |SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,

@@ -15,8 +15,12 @@ object Similarity {
 
   val Dim = 64
 
-  /** Left-fold dot product with double accumulation (deterministic order). */
-  def dot(a: Column, b: Column): Column =
+  /** Left-fold dot product with double accumulation (deterministic order).
+    * Codegen'd kernel; bit-identical to [[dotHof]] (KernelsSpec asserts). */
+  def dot(a: Column, b: Column): Column = graft.functions.TextExpressions.dot(a, b)
+
+  /** Round-1 HOF formulation — parity baseline only (interpreted lambdas). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
@@ -45,21 +49,35 @@ object Similarity {
 
   val NumPlanes = 8
 
+  /** Plane count sized to the corpus: with p planes the signature space has
+    * 2^p buckets, so expected occupancy ≈ n / 2^p. Target occupancy T keeps
+    * in-bucket pair work (occupancy²/2 per bucket) bounded as n grows:
+    * p = ⌈log₂(n / T)⌉, floored at NumPlanes. At n = 10⁹ and T = 4096 this
+    * gives 18 planes (~256k buckets, ~4k vectors each) where the fixed
+    * 8-plane default would pack ~4M vectors per bucket and explode
+    * quadratically — the round-1 scale flaw this knob fixes. Recall lost to
+    * finer bucketing is recovered the standard way: multi-probe (flip the
+    * lowest-|projection| bits) or banded signatures, both composable with
+    * `lshBucket(emb, planes)`. */
+  def planesFor(corpusSize: Long, targetOccupancy: Long = 4096): Int = {
+    val needed = math.ceil(
+      math.log(math.max(corpusSize.toDouble / targetOccupancy, 1.0)) / math.log(2.0)).toInt
+    math.max(NumPlanes, needed)
+  }
+
   /** Deterministic pseudo-random hyperplane component: lane i of plane p. */
   def planeComponent(p: Int, i: Int): Double = (((p * 73 + i * 179) % 97) - 48).toDouble
 
   /** Sign bit of the projection onto plane p (left-fold, deterministic). */
   def planeBit(emb: Column, p: Int): Column = {
-    val proj = aggregate(
-      zip_with(emb, typedLit((0 until Dim).map(i => planeComponent(p, i))),
-        (x, c) => x.cast("double") * c),
-      lit(0.0), (acc, x) => acc + x)
+    val proj = dot(emb, typedLit((0 until Dim).map(i => planeComponent(p, i))))
     when(proj > 0, lit(1L << p)).otherwise(0L)
   }
 
-  /** Random-hyperplane LSH bucket signature (NumPlanes bits). */
-  def lshBucket(emb: Column): Column =
-    (0 until NumPlanes).map(p => planeBit(emb, p)).reduce(_ + _)
+  /** Random-hyperplane LSH bucket signature (`planes` bits; size with
+    * [[planesFor]] at scale). */
+  def lshBucket(emb: Column, planes: Int = NumPlanes): Column =
+    (0 until planes).map(p => planeBit(emb, p)).reduce(_ + _)
 
   /** IVF/LSH-style ANN: candidates share the bucket signature with the
     * query; exact cosine + top-k inside the bucket only. At corpus scale the

@@ -3,11 +3,19 @@ package graft.text
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextExpressions
+
 /** Text-analysis operators for large-scale training-data pipelines:
   * token counting, quality scoring, language ID, and document
   * fingerprinting. Every operator is a pure `Column` expression (no UDFs):
   * at 100 TB these run inside whole-stage codegen as map-only projections —
   * no shuffle, no python worker round-trips.
+  *
+  * The hash/marker-count hot paths are custom codegen'd Catalyst
+  * expressions (graft.functions) — the `*Hof` variants kept here are the
+  * round-1 higher-order-function formulations, retained ONLY as the parity
+  * baseline asserted by KernelsSpec (HOF lambdas evaluate interpreted per
+  * element: measured 90 s → <2 s on text_fingerprint at sf0.1).
   */
 object TextOps {
 
@@ -39,7 +47,7 @@ object TextOps {
     val nTok = tokenCount(text).cast("double")
     val nChars = length(text).cast("double")
     val meanWordLen = (nChars - (nTok - 1)) / nTok // single-space assumption
-    val stopwords = wordCount(text, "the") + wordCount(text, "a")
+    val stopwords = TextExpressions.markerCountSum(text, Seq("the", "a"))
     val punctRatio = punctCount(text).cast("double") / nChars
     val lenOk = when(meanWordLen >= 3.0 && meanWordLen <= 10.0, 0.4).otherwise(0.0)
     val stopOk = when(stopwords > 0, 0.3).otherwise(0.0)
@@ -58,7 +66,7 @@ object TextOps {
 
   def langScores(text: Column): Seq[(String, Column)] =
     LangMarkers.map { case (lang, ws) =>
-      lang -> ws.map(w => wordCount(text, w)).reduce(_ + _)
+      lang -> TextExpressions.markerCountSum(text, ws)
     }
 
   def langId(text: Column): Column = {
@@ -73,8 +81,18 @@ object TextOps {
 
   /** Left-fold polynomial hash over the character codes of `text`, seeded
     * with the first char (matching a no-initial-value fold):
-    * h = fold(c_2..c_n; h_1 = c_1) of (h·31 + c) mod 1e9+7. Empty → 0. */
-  def polyHash(text: Column): Column = {
+    * h = fold(c_2..c_n; h_1 = c_1) of (h·31 + c) mod 1e9+7. Empty → 0.
+    * Codegen'd kernel; value-identical to [[polyHashHof]]. */
+  def polyHash(text: Column): Column = TextExpressions.polyHash(text)
+
+  /** Rolling-hash document fingerprint (winnowing-style): the minimum
+    * polynomial hash over all word 8-grams (whole text if shorter).
+    * One prefix-hash pass per row; value-identical to [[fingerprintHof]]. */
+  def fingerprint(text: Column): Column = TextExpressions.fingerprint(text, 8)
+
+  // ---- round-1 HOF formulations: parity baselines for KernelsSpec ----
+
+  def polyHashHof(text: Column): Column = {
     val n = length(text)
     val chars = transform(sequence(lit(1), n), i => ascii(substring(text, i, lit(1))))
     when(n === 0, lit(0L)).otherwise(
@@ -84,17 +102,15 @@ object TextOps {
         (acc, x) => (acc * 31 + x) % HashPrime))
   }
 
-  /** Rolling-hash document fingerprint (winnowing-style): the minimum
-    * polynomial hash over all word 8-grams (whole text if shorter). */
-  def fingerprint(text: Column): Column = {
+  def fingerprintHof(text: Column): Column = {
     val w = tokens(text)
     val n = size(w)
     val grams = transform(sequence(lit(1), greatest(n - 7, lit(1))),
       i => concat_ws(" ", slice(w, i, lit(8))))
-    array_min(transform(grams, g => polyHashStr(g)))
+    array_min(transform(grams, g => polyHashStrHof(g)))
   }
 
-  private def polyHashStr(s: Column): Column = {
+  private def polyHashStrHof(s: Column): Column = {
     val n = length(s)
     val chars = transform(sequence(lit(1), n), i => ascii(substring(s, i, lit(1))))
     when(n === 0, lit(0L)).otherwise(

@@ -74,6 +74,35 @@ class DedupSpec extends SparkSpec {
     assert(fps.size == 1)
   }
 
+  test("df-cap drops pairs whose only overlap is hot shingles") {
+    // 5 docs sharing one boilerplate 3-gram (df = 5) plus unique tails
+    val hot = (1L to 5L).map(i => (i, s"shared boilerplate prefix unique$i tail$i end$i"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(hot, n = 3, threshold = 0.01, dfCap = 4).count()
+    assert(capped == 0) // the only shared shingle exceeds the cap
+    val uncapped = Dedup.jaccardPairs(hot, n = 3, threshold = 0.01, dfCap = 128).count()
+    assert(uncapped == 10) // all C(5,2) pairs share the boilerplate shingle
+  }
+
+  test("planesFor sizes the LSH signature to corpus scale") {
+    assert(Similarity.planesFor(1000) == Similarity.NumPlanes) // floor
+    assert(Similarity.planesFor(1000000000L, 4096) == 18)
+    // occupancy n / 2^p stays ≤ target as n grows 1000×
+    for (n <- Seq(1e6.toLong, 1e9.toLong, 1e12.toLong)) {
+      val p = Similarity.planesFor(n, 4096)
+      assert(n.toDouble / math.pow(2, p) <= 4096.0, s"n=$n p=$p")
+    }
+  }
+
+  test("simhash band width: 2×16-bit banding still recovers exact dups at hamming<=1") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 1, bandBits = 16)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, maxHamming = 3, bandBits = 16) // 2 bands < 4 needed
+    }
+  }
+
   test("cosine similarity: self = 1, fold is deterministic, topk ranks by score") {
     val embs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.functions.TextExpressions
+import graft.sim.Similarity
+import graft.text.TextOps
+
+/** Value parity of the codegen'd kernel expressions vs the round-1
+  * higher-order-function formulations they replaced. The HOF forms ARE the
+  * oracle-proven semantics (round-1 gate), so bitwise equality here carries
+  * the oracle guarantee over to the kernels. Runs on the real sf0.001
+  * documents/embeddings tables plus adversarial edge-case strings. */
+class KernelsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private val edgeCases = Seq(
+    "",
+    " ",
+    "   ",
+    "one",
+    "a b",
+    "\tleading tab",
+    "trailing tab\t",
+    "inner\nnewline token",
+    "  padded  spaces  ",
+    "exactly eight tokens are present in this here string",
+    "nine tokens a b c d e f g",
+    "the the the a a of und der die",
+    "unicode café straße 中文 emoji😀end",
+    "x " * 50 + "y")
+
+  private def textDf = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select(col("text"))
+    docs.unionByName(edgeCases.toDF("text"))
+  }
+
+  test("polyHash kernel == HOF form on corpus + edge cases") {
+    val d = textDf.select(
+      TextOps.polyHash(col("text")).as("k"),
+      TextOps.polyHashHof(col("text")).as("h"))
+    assert(d.filter(!(col("k") <=> col("h"))).count() == 0)
+  }
+
+  test("fingerprint kernel == HOF form on corpus + edge cases") {
+    val d = textDf.select(
+      TextOps.fingerprint(col("text")).as("k"),
+      TextOps.fingerprintHof(col("text")).as("h"))
+    assert(d.filter(!(col("k") <=> col("h"))).count() == 0)
+  }
+
+  test("markerCountSum kernel == sum of HOF word counts") {
+    val words = Seq("the", "a", "of", "und", "der")
+    val hof = words.map(w => TextOps.wordCount(col("text"), w)).reduce(_ + _)
+    val d = textDf.select(
+      TextExpressions.markerCountSum(col("text"), words).as("k"),
+      hof.cast("long").as("h"))
+    assert(d.filter(!(col("k") <=> col("h"))).count() == 0)
+  }
+
+  test("shingles kernel == HOF form (distinct, first-occurrence order)") {
+    for (n <- Seq(1, 3, 8)) {
+      val d = textDf.select(
+        Dedup.shingles(col("text"), n).as("k"),
+        Dedup.shinglesHof(col("text"), n).as("h"))
+      assert(d.filter(!(col("k") <=> col("h"))).count() == 0, s"n=$n")
+    }
+  }
+
+  test("fold-dot kernel is bit-identical to the HOF fold (float and const-double)") {
+    val e = Tables.embeddings(spark, sf).limit(200)
+    val pair = e.select(col("embedding").as("a"))
+      .crossJoin(broadcast(e.limit(5).select(col("embedding").as("b"))))
+    val d = pair.select(
+      Similarity.dot(col("a"), col("b")).as("k"),
+      Similarity.dotHof(col("a"), col("b")).as("h"))
+    // exact bit equality, not approximate: same fold order, same widening
+    assert(d.filter(!(col("k") <=> col("h"))).count() == 0)
+
+    val planes = org.apache.spark.sql.functions.typedLit(
+      (0 until Similarity.Dim).map(i => Similarity.planeComponent(3, i)))
+    val d2 = e.select(
+      Similarity.dot(col("embedding"), planes).as("k"),
+      Similarity.dotHof(col("embedding"), planes).as("h"))
+    assert(d2.filter(!(col("k") <=> col("h"))).count() == 0)
+  }
+
+  test("fold-dot returns null on length mismatch (zip_with padding semantics)") {
+    import spark.implicits._
+    val d = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("k"))
+    assert(d.collect()(0).isNullAt(0))
+  }
+}
