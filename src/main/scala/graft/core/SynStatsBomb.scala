@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   */
 object SynStatsBomb {
 
-  val NumGames = 20L
+  // coprime with the 14-entry type stream so every game mixes all types
+  val NumGames = 23L
 
   // variant vocabularies (index 0 = absent/NULL)
   val typeNames = Seq("Pass", "Shot", "Carry", "Dribble", "Foul Committed",

@@ -75,14 +75,70 @@ object XtQueries {
       XThreat.transitionEntries(actions(s, dir))
     },
 
-    // The solved surface: driver-side value iteration — not SQL-expressible,
-    // rows-only check (cell, xT value, plus fit diagnostics).
+    // The solved surface: driver-side value iteration — the CONVERGED
+    // surface stays rows-only (iteration count is data-dependent), but the
+    // fixed-5-step solve below is value-golden, which makes the solve math
+    // itself oracle-checked.
     Q.rowsOnly("xt_fit_surface") { (s, dir) =>
       import s.implicits._
       val model = XThreat.fit(actions(s, dir))
       model.xT.zipWithIndex.toSeq
         .map { case (v, c) => (c.toLong, v, model.iterations) }
         .toDF("cell", "xt_value", "iterations")
+    },
+
+    // Value iteration, exactly 5 steps from the zero surface — chained-CTE
+    // oracle with left-fold ordered sums (bit-exact: the driver loop adds
+    // T(i,j)·x(j) in ascending j with zero terms as exact no-ops, which is
+    // the same fold as list_reduce over the sparse entries in end_cell
+    // order seeded by the first term).
+    Q("xt_value_iteration", {
+      val n = XThreat.DefaultL * XThreat.DefaultW
+      val iters = (1 to 5).map { k =>
+        s"""it$k AS (
+           |  SELECT g.cell, g.gs + g.pmove * coalesce(
+           |      list_reduce(list(t.p * x.v ORDER BY t.end_cell), (a, b) -> a + b),
+           |      0.0::DOUBLE) AS v
+           |  FROM g
+           |  LEFT JOIN trans t ON t.start_cell = g.cell
+           |  LEFT JOIN it${k - 1} x ON x.cell = t.end_cell
+           |  GROUP BY g.cell, g.gs, g.pmove
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""$OracleCte, spine AS (
+         |  SELECT range AS cell FROM range(0, $n)
+         |), cs AS (
+         |  SELECT $cellSql AS cell,
+         |    sum(CASE WHEN type_id = 11 THEN 1 ELSE 0 END) AS shots,
+         |    sum(CASE WHEN type_id = 11 AND result_id = 1 THEN 1 ELSE 0 END) AS goals,
+         |    sum(CASE WHEN $moveSql THEN 1 ELSE 0 END) AS moves
+         |  FROM actions GROUP BY 1
+         |), g AS (
+         |  SELECT s.cell,
+         |    (CASE WHEN cs.shots <> 0 THEN cs.goals / cs.shots ELSE 0.0 END)
+         |      * (CASE WHEN cs.shots + cs.moves <> 0 THEN cs.shots / (cs.shots + cs.moves) ELSE 0.0 END) AS gs,
+         |    coalesce(CASE WHEN cs.shots + cs.moves <> 0 THEN cs.moves / (cs.shots + cs.moves) ELSE 0.0 END, 0.0) AS pmove
+         |  FROM spine s LEFT JOIN cs ON s.cell = cs.cell
+         |), moves AS (
+         |  SELECT $cellSql AS start_cell, $endCellSql AS end_cell, result_id
+         |  FROM actions WHERE $moveSql
+         |), sc AS (
+         |  SELECT start_cell, count(*) AS n_start FROM moves GROUP BY 1
+         |), trans AS (
+         |  SELECT m.start_cell, m.end_cell, count(*) / any_value(sc.n_start) AS p
+         |  FROM moves m JOIN sc ON m.start_cell = sc.start_cell
+         |  WHERE m.result_id = 1
+         |  GROUP BY m.start_cell, m.end_cell
+         |), it0 AS (
+         |  SELECT cell, 0.0::DOUBLE AS v FROM spine
+         |), $iters
+         |SELECT cell, v AS xt_value FROM it5""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val model = XThreat.fitIterations(actions(s, dir), 5)
+      model.xT.zipWithIndex.toSeq
+        .map { case (v, c) => (c.toLong, v) }
+        .toDF("cell", "xt_value")
     },
 
     // Rating with the genuinely fitted surface — rows-only.

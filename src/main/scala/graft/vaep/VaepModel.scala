@@ -48,6 +48,37 @@ object VaepModel {
     m
   }
 
+  /** M1 with the reference's validation split (`vaep/base.py:142-216`
+    * holds out 25% for xgboost early stopping): a seeded randomSplit, GBTs
+    * trained with `validationIndicatorCol` early stopping, and held-out
+    * Brier/AUROC per label returned alongside the model. */
+  def fitWithValidation(data: DataFrame, featureCols: Array[String],
+                        maxIter: Int = 20, maxDepth: Int = 3, seed: Long = 42L,
+                        valFraction: Double = 0.25)
+      : (Fitted, Map[String, (Double, Double)]) = {
+    val num = numericize(data, featureCols.toSeq)
+    val Array(tr, va) = num.randomSplit(Array(1 - valFraction, valFraction), seed)
+    val both = tr.withColumn("is_val", lit(false))
+      .unionByName(va.withColumn("is_val", lit(true)))
+    val assembled = assembler(featureCols).transform(both)
+      .withColumn("label_scores", col("scores").cast("double"))
+      .withColumn("label_concedes", col("concedes").cast("double"))
+      .cache()
+    def gbt(labelCol: String) = new GBTClassifier()
+      .setLabelCol(labelCol).setFeaturesCol("features_vec")
+      .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed)
+      .setValidationIndicatorCol("is_val")
+    val fitted = Fitted(featureCols,
+      gbt("label_scores").fit(assembled),
+      gbt("label_concedes").fit(assembled))
+    val vaProbs = estimateProbabilities(fitted, va)
+    val metrics = Map(
+      "scores" -> score(vaProbs, "scores", "scores_p"),
+      "concedes" -> score(vaProbs, "concedes", "concedes_p"))
+    assembled.unpersist()
+    (fitted, metrics)
+  }
+
   /** M2 — P̂(positive) per model as columns `scores_p` / `concedes_p`. */
   def estimateProbabilities(model: Fitted, df: DataFrame): DataFrame = {
     val assembled = assembler(model.featureCols)

@@ -84,10 +84,18 @@ object XThreat {
         (col("n_succ") / col("n_start")).as("p"))
   }
 
+  /** Fixed-iteration solve — the value-golden variant: exactly `iterations`
+    * value-iteration steps from the zero surface, SQL-mirrorable with
+    * chained CTEs (the convergence loop's iteration count is data-dependent,
+    * so the converged surface stays a rows-only check). */
+  def fitIterations(actions: DataFrame, iterations: Int,
+                    l: Int = DefaultL, w: Int = DefaultW): Model =
+    fit(actions, l, w, eps = Double.NegativeInfinity, maxIterations = iterations)
+
   /** Fit: aggregate on the cluster, solve on the driver
     * (reference `xthreat.py:322-345` + `__solve` :278-320). */
   def fit(actions: DataFrame, l: Int = DefaultL, w: Int = DefaultW,
-          eps: Double = 1e-5): Model = {
+          eps: Double = 1e-5, maxIterations: Int = Int.MaxValue): Model = {
     val n = l * w
     val stats = cellStats(actions, l, w).collect()
     val shots = new Array[Double](n)
@@ -116,7 +124,7 @@ object XThreat {
     var xt = new Array[Double](n)
     var iterations = 0
     var converged = false
-    while (!converged) {
+    while (!converged && iterations < maxIterations) {
       val next = new Array[Double](n)
       var i = 0
       while (i < n) {

@@ -39,4 +39,20 @@ class VaepModelSpec extends SparkSpec {
     assert(auroc > 0.5, s"auroc $auroc")
     data.unpersist()
   }
+
+  test("validation-split fit: early stopping wired, held-out metrics returned") {
+    val dir = "/root/testdata/sf0.001"
+    val data = MlQueries.assembled(spark, dir).cache()
+    val fc = MlQueries.featureCols(3)
+    val (model, metrics) = VaepModel.fitWithValidation(
+      data, fc, maxIter = 5, maxDepth = 3, seed = 42L)
+    val (brier, auroc) = metrics("scores")
+    // held-out discrimination must beat chance (a train-degenerate model
+    // that memorized nothing scores 0.5 here)
+    assert(brier >= 0.0 && brier <= 0.3, s"held-out brier $brier")
+    assert(auroc > 0.5, s"held-out auroc $auroc")
+    // the validation-trained pair rates the full frame
+    assert(VaepModel.rate(model, data).count() == data.count())
+    data.unpersist()
+  }
 }

@@ -87,6 +87,26 @@ class XThreatSpec extends SparkSpec {
     }
   }
 
+  test("fixed-iteration solve: one step equals the immediate-payoff surface") {
+    val actions = df((0 until 200).map { i =>
+      row((i * 13 % 105).toDouble, (i * 7 % 68).toDouble,
+        (i * 29 % 105).toDouble, (i * 11 % 68).toDouble,
+        i % 23, i % 6, i.toLong)
+    }: _*)
+    val m1 = XThreat.fitIterations(actions, 1)
+    assert(m1.iterations == 1)
+    // x₁ = gs + pMove·(T·0) = pScoring·pShot exactly
+    (0 until m1.xT.length).foreach { i =>
+      assert(m1.xT(i) == m1.pScoring(i) * m1.pShot(i), s"cell $i")
+    }
+    // more steps never decrease the surface (monotone value iteration)
+    val m5 = XThreat.fitIterations(actions, 5)
+    (0 until m5.xT.length).foreach(i => assert(m5.xT(i) >= m1.xT(i)))
+    // and the converged surface dominates the 5-step one
+    val mc = XThreat.fit(actions)
+    (0 until mc.xT.length).foreach(i => assert(mc.xT(i) >= m5.xT(i) - 1e-12))
+  }
+
   test("JSON save/load roundtrip") {
     val actions = df(
       row(10, 10, 90, 34, 11, 1, 0),
