@@ -1,0 +1,231 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Spadl
+
+/** S7/S8 — the Opta feed loader, Stats Perform MA1 (schedule) + MA3
+  * (match events) JSON feeds. Reference
+  * `socceraction/data/opta/loader.py:207-478` (feed-pattern dispatch,
+  * accessor assembly, event-type dim join, sort/cleanup) and
+  * `socceraction/data/opta/parsers/ma1_json.py` / `ma3_json.py` (field
+  * extraction, qualifier map, end-coordinate qualifiers, minutes algebra).
+  *
+  * Feed files are located by glob patterns with `{competition_id}`,
+  * `{season_id}`, `{game_id}` placeholders (same contract as the
+  * reference); each accessor is a JSON scan + explode + projection, and
+  * `events(gameId)` emits exactly the frame `Opta.convertToActions`
+  * consumes (type_name, outcome, percent coordinates, qualifier-id array).
+  */
+final class OptaLoader(spark: SparkSession, root: String,
+                       feeds: Map[String, String] = OptaLoader.StatsPerformFeeds) {
+
+  private def paths(feed: String, competitionId: String = "*",
+                    seasonId: String = "*", gameId: String = "*"): Seq[String] = {
+    val pattern = feeds(feed)
+      .replace("{competition_id}", competitionId)
+      .replace("{season_id}", seasonId)
+      .replace("{game_id}", gameId)
+    val dir = new java.io.File(root)
+    val rx = java.util.regex.Pattern.compile(
+      pattern.replace(".", "\\.").replace("*", ".*"))
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => rx.matcher(f.getName).matches())
+      .map(_.getPath).toSeq.sorted
+  }
+
+  private def readJson(ps: Seq[String]): DataFrame =
+    spark.read.option("multiLine", true).json(ps: _*)
+
+  /** Competitions and seasons from the MA1 schedule feeds
+    * (`ma1_json.py:52-74`). */
+  def competitions(): DataFrame =
+    readJson(paths("ma1"))
+      .select(explode(col("match")).as("m"))
+      .select(
+        col("m.matchInfo.competition.id").as("competition_id"),
+        col("m.matchInfo.competition.name").as("competition_name"),
+        col("m.matchInfo.tournamentCalendar.id").as("season_id"),
+        col("m.matchInfo.tournamentCalendar.name").as("season_name"))
+      .distinct()
+
+  /** All games of a season from the MA1 schedule (`ma1_json.py:76-133`). */
+  def games(competitionId: String, seasonId: String): DataFrame = {
+    val m = readJson(paths("ma1")).select(explode(col("match")).as("m"))
+      .select(col("m.matchInfo").as("mi"), col("m.liveData").as("ld"))
+      .filter(col("mi.competition.id") === competitionId &&
+        col("mi.tournamentCalendar.id") === seasonId)
+    val contestants = col("mi.contestant")
+    def teamBySide(side: String): Column =
+      element_at(filter(contestants, c => c.getField("position") === side), 1).getField("id")
+    m.select(
+      col("mi.id").as("game_id"),
+      col("mi.competition.id").as("competition_id"),
+      col("mi.tournamentCalendar.id").as("season_id"),
+      col("mi.week").cast("int").as("game_day"),
+      to_timestamp(concat(
+        substring(col("mi.date"), 1, 10), lit("T"),
+        substring(col("mi.time"), 1, 8))).as("game_date"),
+      teamBySide("home").as("home_team_id"),
+      teamBySide("away").as("away_team_id"),
+      col("ld.matchDetails.scores.total.home").as("home_score"),
+      col("ld.matchDetails.scores.total.away").as("away_score"),
+      col("mi.venue.shortName").as("venue"))
+  }
+
+  private def ma3(gameId: String): DataFrame =
+    readJson(paths("ma3", gameId = gameId))
+
+  /** Both teams from the MA3 contestants (`ma3_json.py:103-122`). */
+  def teams(gameId: String): DataFrame =
+    ma3(gameId)
+      .select(explode(col("matchInfo.contestant")).as("c"))
+      .select(col("c.id").as("team_id"), col("c.name").as("team_name"))
+
+  /** Raw event rows of a game: explode liveData.event, build the qualifier
+    * id→value map, derive end coordinates from qualifiers 140/141 (pass) /
+    * 146/147 (blocked shot) / 102/103 (goal line), attach type names, apply
+    * the loader's sort + cleanup (`ma3_json.py:240-292`,
+    * `loader.py:432-478`). */
+  def events(gameId: String): DataFrame = {
+    val raw = ma3(gameId).select(
+      col("matchInfo.id").as("game_id"),
+      explode(col("liveData.event")).as("e"))
+    val quals = col("e.qualifier")
+    // a null qualifier array yields a null map / empty id list; element_at
+    // and map_contains_key on null are null → all probes fall through
+    val qmap = map_from_entries(transform(quals,
+      q => struct(q.getField("qualifierId").as("key"), q.getField("value").as("value"))))
+    def qval(id: Int): Column = element_at(col("qmap"), id)
+    def qnum(id: Int): Column = qval(id).cast("double")
+
+    val base = raw
+      .withColumn("qmap", qmap)
+      .select(
+        col("game_id"),
+        col("e.id").cast("long").as("event_id"),
+        col("e.periodId").cast("int").as("period_id"),
+        col("e.timeMin").cast("long").as("minute"),
+        greatest(col("e.timeSec").cast("long"), lit(0L)).as("second"), // pre-match -3..-1 → 0
+        to_timestamp(regexp_replace(col("e.timeStamp"), "Z$", "")).as("timestamp"),
+        col("e.contestantId").as("team_id"),
+        col("e.playerId").as("player_id"),
+        col("e.playerName").as("player_name"),
+        col("e.typeId").cast("int").as("type_id"),
+        coalesce(col("e.outcome").cast("int") === 1, lit(true)).as("outcome"),
+        col("e.x").cast("double").as("start_x"),
+        col("e.y").cast("double").as("start_y"),
+        coalesce(qnum(140), qnum(146), qnum(102), col("e.x").cast("double")).as("end_x"),
+        coalesce(qnum(141), qnum(147), qnum(103), col("e.y").cast("double")).as("end_y"),
+        coalesce(transform(quals, q => q.getField("qualifierId").cast("int")),
+          array().cast("array<int>")).as("qualifiers"),
+        col("qmap"))
+      .filter(col("type_id") =!= 43) // deleted events
+    val named = base.join(broadcast(OptaLoader.eventTypes(spark)), Seq("type_id"), "left")
+    named
+      .withColumn("seq",
+        row_number().over(Window.partitionBy("game_id")
+          .orderBy("period_id", "minute", "second", "timestamp", "event_id")).cast("long"))
+  }
+
+  /** Players with minutes from the MA3 stream (`ma3_json.py:124-238`):
+    * team-setup lists (qualifier 30 players ∥ 44 positions ∥ 59 jerseys ∥
+    * 131 formation slots), substitutions (events 18/19), red cards
+    * (event 17, qualifier 32/33), duration (event 30, qualifier 209). */
+  def players(gameId: String): DataFrame = {
+    val ev = events(gameId).cache()
+    val duration = coalesce(
+      max(when(col("type_id") === 30 && map_contains_key(col("qmap"), 209)
+        && col("minute") > 90, col("minute"))), lit(90L))
+    val durs = ev.groupBy("game_id").agg(duration.as("game_duration"))
+
+    // one row per (player, position, jersey, slot) from the aligned
+    // comma-joined team-setup lists
+    val setup = ev.filter(col("type_id") === 34)
+      .select(col("game_id"), col("team_id"),
+        explode(arrays_zip(
+          split(element_at(col("qmap"), 30), ", "),
+          split(element_at(col("qmap"), 44), ", "),
+          split(element_at(col("qmap"), 59), ", "),
+          split(element_at(col("qmap"), 131), ", "))).as("z"))
+      .select(col("game_id"), col("team_id"),
+        col("z").getField("0").as("player_id"),
+        col("z").getField("1").cast("int").as("starting_position_id"),
+        col("z").getField("2").cast("long").as("jersey_number"),
+        col("z").getField("3").cast("int").as("position_in_formation"))
+
+    val names = ev.filter(col("player_id").isNotNull)
+      .groupBy("player_id").agg(min_by(col("player_name"), col("seq")).as("player_name"))
+    val redCards = ev.filter(col("type_id") === 17 && col("player_id").isNotNull &&
+        (map_contains_key(col("qmap"), 32) || map_contains_key(col("qmap"), 33)))
+      .groupBy("player_id").agg(min("minute").as("red_minute"))
+    val subsOff = ev.filter(col("type_id") === 18)
+      .groupBy("player_id").agg(max("minute").as("minute_end"))
+    val subsOn = ev.filter(col("type_id") === 19)
+      .groupBy("player_id").agg(max("minute").as("minute_start"))
+
+    setup
+      .join(durs, "game_id")
+      .join(names, Seq("player_id"), "left")
+      .join(redCards, Seq("player_id"), "left")
+      .join(subsOff, Seq("player_id"), "left")
+      .join(subsOn, Seq("player_id"), "left")
+      .withColumn("minute_start", coalesce(col("minute_start"), lit(0L)))
+      .withColumn("minute_end",
+        coalesce(col("red_minute"), col("minute_end"), col("game_duration")))
+      .withColumn("is_starter", col("position_in_formation") > 0)
+      .withColumn("minutes_played", col("minute_end") - col("minute_start"))
+      .filter(col("minutes_played") > 0)
+      .withColumn("starting_position",
+        when(col("starting_position_id").between(1, OptaLoader.positionNames.length),
+          element_at(typedLit(OptaLoader.positionNames), col("starting_position_id")))
+          .otherwise("Unknown"))
+      .select("game_id", "team_id", "player_id", "player_name", "is_starter",
+        "minutes_played", "jersey_number", "starting_position")
+  }
+}
+
+object OptaLoader {
+
+  val StatsPerformFeeds: Map[String, String] = Map(
+    "ma1" -> "ma1-{competition_id}-{season_id}.json",
+    "ma3" -> "ma3-{competition_id}-{season_id}-{game_id}.json")
+
+  def apply(spark: SparkSession, root: String): OptaLoader = new OptaLoader(spark, root)
+
+  val positionNames: Seq[String] =
+    Seq("Goalkeeper", "Defender", "Midfielder", "Forward", "Substitute")
+
+  /** The public Opta event-type vocabulary (reference
+    * `data/opta/loader.py:59-147`) as a broadcastable dim table. */
+  val eventTypeNames: Seq[(Int, String)] = Seq(
+    1 -> "pass", 2 -> "offside pass", 3 -> "take on", 4 -> "foul", 5 -> "out",
+    6 -> "corner awarded", 7 -> "tackle", 8 -> "interception", 9 -> "turnover",
+    10 -> "save", 11 -> "claim", 12 -> "clearance", 13 -> "miss", 14 -> "post",
+    15 -> "attempt saved", 16 -> "goal", 17 -> "card", 18 -> "player off",
+    19 -> "player on", 20 -> "player retired", 21 -> "player returns",
+    22 -> "player becomes goalkeeper", 23 -> "goalkeeper becomes player",
+    24 -> "condition change", 25 -> "official change", 27 -> "start delay",
+    28 -> "end delay", 30 -> "end", 32 -> "start", 34 -> "team set up",
+    35 -> "player changed position", 36 -> "player changed jersey number",
+    37 -> "collection end", 40 -> "formation change", 41 -> "punch",
+    42 -> "good skill", 43 -> "deleted event", 44 -> "aerial",
+    45 -> "challenge", 47 -> "rescinded card", 49 -> "ball recovery",
+    50 -> "dispossessed", 51 -> "error", 52 -> "keeper pick-up",
+    53 -> "cross not claimed", 54 -> "smother", 55 -> "offside provoked",
+    56 -> "shield ball opp", 57 -> "foul throw in", 58 -> "penalty faced",
+    59 -> "keeper sweeper", 60 -> "chance missed", 61 -> "ball touch",
+    64 -> "resume", 65 -> "contentious referee decision",
+    67 -> "50/50", 68 -> "referee drop ball", 69 -> "failed to block",
+    70 -> "injury time announcement", 71 -> "coach setup",
+    72 -> "caught offside", 73 -> "other ball contact", 74 -> "blocked pass",
+    75 -> "delayed start", 76 -> "early end", 77 -> "player off pitch",
+    80 -> "drop of ball", 81 -> "obstacle", 83 -> "attempted tackle")
+
+  def eventTypes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    eventTypeNames.map { case (i, n) => (i, n) }.toDF("type_id", "type_name")
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Opta, OptaLoader, Wyscout, WyscoutLoader}
+
+/** Opta (MA1/MA3) and Wyscout API loader semantics against the hand-written
+  * feed fixtures, including the loader→converter end-to-end path. */
+class FeedLoaderSpec extends SparkSpec {
+
+  private lazy val optaRoot = getClass.getResource("/opta_root").toString
+    .stripPrefix("file:")
+  private lazy val wyRoot = getClass.getResource("/wyscout_root").toString
+  private lazy val opta = OptaLoader(spark, optaRoot)
+  private lazy val wy = WyscoutLoader(spark, wyRoot)
+
+  test("opta: competitions and games from the MA1 schedule feed") {
+    val comps = opta.competitions().collect()
+    assert(comps.length == 1)
+    assert(comps(0).getAs[String]("competition_name") == "Test League")
+    val games = opta.games("c1", "s1").orderBy("game_id").collect()
+    assert(games.length == 2)
+    val g = games(0)
+    assert(g.getAs[String]("game_id") == "g900")
+    assert(g.getAs[String]("home_team_id") == "t10")
+    assert(g.getAs[String]("away_team_id") == "t20")
+    assert(g.getAs[Long]("home_score") == 2L)
+    assert(g.getAs[String]("venue") == "Test Arena")
+    assert(g.getAs[java.sql.Timestamp]("game_date").toString.startsWith("2026-03-01 15:00"))
+  }
+
+  test("opta: MA3 teams, qualifier map, end coordinates, deleted-event filter") {
+    assert(opta.teams("g900").collect().map(_.getAs[String]("team_name")).toSet ==
+      Set("Home FC", "Away United"))
+    val ev = opta.events("g900").cache()
+    assert(ev.filter(col("type_id") === 43).count() == 0) // deleted dropped
+    val pass = ev.filter(col("event_id") === 11).head()
+    assert(pass.getAs[String]("type_name") == "pass")
+    assert(pass.getAs[Double]("end_x") == 61.2) // qualifier 140
+    assert(pass.getAs[Double]("end_y") == 44.0)
+    val goal = ev.filter(col("event_id") === 12).head()
+    assert(goal.getAs[String]("type_name") == "goal")
+    assert(goal.getAs[Double]("end_x") == 100.0) // goal-line qualifier 102
+    assert(goal.getAs[Boolean]("outcome"))
+  }
+
+  test("opta: MA3 player minutes (setup lists, sub, red card, duration)") {
+    val p = opta.players("g900").collect()
+      .map(r => r.getAs[String]("player_id") -> r).toMap
+    // duration = 94 (event 30 with qualifier 209 at 94')
+    assert(p("p1").getAs[Long]("minutes_played") == 94)
+    assert(p("p2").getAs[Long]("minutes_played") == 61) // subbed off 61'
+    assert(p("p3").getAs[Long]("minutes_played") == 77) // second yellow 77'
+    assert(p("p5").getAs[Long]("minutes_played") == 94)
+    assert(p("p1").getAs[Boolean]("is_starter"))
+    assert(!p("p3").getAs[Boolean]("is_starter")) // formation slot 0
+    assert(p("p1").getAs[String]("starting_position") == "Goalkeeper")
+    assert(p("p1").getAs[Long]("jersey_number") == 1L)
+    assert(!p.contains("p4")) // substitute not in the setup lists
+  }
+
+  test("opta: loader events feed the full converter") {
+    val ev = opta.events("g900")
+      .withColumn("game_id", lit(900L))
+      .withColumn("team_id", when(col("team_id") === "t10", 0L).otherwise(1L))
+      .withColumn("player_id", coalesce(
+        regexp_extract(col("player_id"), "\\d+", 0).cast("long"), lit(0L)))
+    val out = Opta.convertToActions(ev, lit(0L)).collect()
+    val types = out.map(_.getAs[Int]("type_id")).toSet
+    assert(types.contains(0)) // the pass
+    assert(types.contains(11)) // the goal
+  }
+
+  test("wyscout: competitions / seasons / games with dynamic teamsData keys") {
+    val comps = wy.competitions().orderBy("competition_id").collect()
+    assert(comps.length == 2)
+    assert(comps(0).getAs[String]("country_name") == "Testland")
+    assert(comps(1).getAs[String]("country_name") == "International") // "" fallback
+    val seasons = wy.seasons(5).collect()
+    assert(seasons.map(_.getAs[Long]("season_id")).toSet == Set(77L, 78L))
+    val games = wy.games(5, 77).orderBy("game_id").collect()
+    assert(games.length == 2)
+    assert(games(0).getAs[Long]("home_team_id") == 3001L)
+    assert(games(0).getAs[Long]("away_team_id") == 3002L)
+    assert(games(1).getAs[Long]("home_team_id") == 3002L)
+  }
+
+  test("wyscout: teams, players, events from the API payload") {
+    assert(wy.teams(500).collect().map(_.getAs[String]("team_name")).toSet ==
+      Set("Alpha FC", "Beta United"))
+    val players = wy.players(500).collect()
+    assert(players.length == 4)
+    val p11 = players.find(_.getAs[Long]("player_id") == 11L).get
+    assert(p11.getAs[String]("player_name") == "Hana Uno")
+    assert(p11.getAs[Long]("team_id") == 3001L)
+
+    val ev = wy.events(500).orderBy("seq").collect()
+    assert(ev.length == 4)
+    assert(ev(0).getAs[Long]("milliseconds") == 2500L)
+    assert(ev(0).getAs[Int]("type_id") == 8)
+    assert(ev(1).getAs[Int]("period_id") == 1)
+    assert(ev(2).getAs[Int]("period_id") == 2)
+    assert(ev(3).getAs[Int]("subtype_id") == 0) // "" coerced to 0
+    val tags = ev(1).getSeq[Int](ev(1).fieldIndex("tags"))
+    assert(tags.contains(101) && tags.contains(1203))
+  }
+
+  test("wyscout: loader events feed the full converter (goal mosaic applied)") {
+    val out = Wyscout.convertToActions(wy.events(500), lit(3001L))
+      .orderBy("action_id").collect()
+    val shot = out.find(_.getAs[Int]("type_id") == 11).get
+    assert(shot.getAs[Int]("result_id") == 1) // goal tag
+    // mosaic mid-center (1203) → percent (100, 50) → meters (105, 34)
+    assert(shot.getAs[Double]("end_x") == 105.0)
+    assert(shot.getAs[Double]("end_y") == 34.0)
+  }
+}
