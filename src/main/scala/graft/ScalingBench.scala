@@ -66,8 +66,11 @@ object ScalingBench {
   }
 
   /** One timed run of both jobs in a fresh local[cores] session:
-    * (valuation rows, valuation sec, corpus rows, corpus sec). */
-  def runOnce(cores: Int, sfDir: String, k: Int): (Long, Double, Long, Double) = {
+    * (valuation rows, valuation sec, corpus rows, corpus sec). kCorpus is
+    * sized independently: the codegen'd kernels made the corpus job ~10×
+    * faster than round 1, so it needs ~10× more rows for the measured
+    * window to dwarf fixed per-job overheads. */
+  def runOnce(cores: Int, sfDir: String, k: Int, kCorpus: Int): (Long, Double, Long, Double) = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
@@ -80,7 +83,7 @@ object ScalingBench {
     corpusJob(spark, "/root/testdata/sf0.001", 2)
     val actions = replicatedActions(spark, sfDir, k)
     val out = Bench.valuationPipelineOn(spark, actions)
-    val corpus = corpusJob(spark, sfDir, k * 3)
+    val corpus = corpusJob(spark, sfDir, kCorpus)
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -116,6 +119,7 @@ object ScalingBench {
     val nSmall = args.lift(1).map(_.toInt).getOrElse(8)
     val rounds = args.lift(2).map(_.toInt).getOrElse(3)
     val k = args.lift(3).map(_.toInt).getOrElse(20)
+    val kCorpus = args.lift(4).map(_.toInt).getOrElse(k * 15)
     val nLarge = nSmall * 4
 
     val ceiling = cpuCeiling(nSmall)
@@ -123,8 +127,8 @@ object ScalingBench {
     var rows = 0L
     var corpusRows = 0L
     val results = (1 to rounds).map { r =>
-      val (rs, ts, cs, tcs) = runOnce(nSmall, sfDir, k)
-      val (rl, tl, cl, tcl) = runOnce(nLarge, sfDir, k)
+      val (rs, ts, cs, tcs) = runOnce(nSmall, sfDir, k, kCorpus)
+      val (rl, tl, cl, tcl) = runOnce(nLarge, sfDir, k, kCorpus)
       require(rs == rl && cs == cl, s"row counts differ: $rs/$rl $cs/$cl")
       rows = rs
       corpusRows = cs
