@@ -10,11 +10,14 @@ import graft.core.Spadl._
   *
   * Chain: `_extra_from_passes` → `_add_dribbles` → `_extra_from_shots` →
   * `_extra_from_fouls` → `_convert_columns` → `_simplify`. Each insertion
-  * stage is: one lead-window pass deriving the synthesized rows, a union,
-  * and a `row_number` resequence over the fractional interleave key — the
+  * stage is ONE pass: a lead-window projection that emits the base row plus
+  * a conditional synthesized row as a 1-or-2 element array, exploded and
+  * resequenced with `row_number` over the fractional interleave key — the
   * declarative equivalent of pandas "append with action_id + 0.1, stable
-  * sort, renumber". All windows share the game_id partitioning; Catalyst
-  * keeps one exchange for the whole chain.
+  * sort, renumber". All windows share the game_id partitioning, so Catalyst
+  * keeps ONE exchange for the whole chain and evaluates each stage's input
+  * exactly once (the earlier base∪extras union formulation re-evaluated the
+  * upstream chain per branch — 2⁴ = 16 scans over four stages).
   *
   * Reference quirk preserved: `ar.index("interception")` resolves to the
   * BASE interception id (10), not a new atomic id, because the atomic
@@ -44,14 +47,26 @@ object AtomicOps {
     "team_id", "player_id", "start_x", "start_y", "end_x", "end_y",
     "type_id", "result_id", "bodypart_id", "seq")
 
-  /** Union base rows with extras (carrying fractional `aid_frac`) and
-    * renumber action_id per game in (period, aid_frac) order. */
-  private def interleave(base: DataFrame, extras: DataFrame): DataFrame = {
-    val b = base.withColumn("aid_frac", col("action_id").cast("double"))
-    val cols = "game_id" +: "period_id" +: "aid_frac" +: outCols.drop(3)
-    val all = b.select(cols.map(col): _*).unionByName(extras.select(cols.map(col): _*))
+  /** The current row as an interleave struct (aid_frac = action_id). */
+  private def baseStruct: Column = struct(
+    col("period_id"),
+    col("action_id").cast("double").as("aid_frac"),
+    col("time_seconds"), col("team_id"), col("player_id"),
+    col("start_x"), col("start_y"), col("end_x"), col("end_y"),
+    col("type_id"), col("result_id"), col("bodypart_id"), col("seq"))
+
+  /** One insertion stage: per row emit [base] or [base, extra], explode,
+    * renumber per game in (period, aid_frac) order. The synthesized-row
+    * multiset and the resequencing key are identical to the reference's
+    * append-sort-renumber, so results match row for row. */
+  private def explodeInterleave(withNx: DataFrame, cond: Column, extra: Column): DataFrame = {
+    val exploded = withNx
+      .select(col("game_id"),
+        explode(when(cond, array(baseStruct, extra)).otherwise(array(baseStruct))).as("r"))
+      .select(col("game_id"), col("r.*"))
     val w = Window.partitionBy("game_id").orderBy("period_id", "aid_frac")
-    all.withColumn("action_id", row_number().over(w).cast("long") - 1)
+    exploded
+      .withColumn("action_id", row_number().over(w).cast("long") - 1)
       .select(outCols.map(col): _*)
   }
 
@@ -76,8 +91,7 @@ object AtomicOps {
       .when(out, TypeOut)
       .when(!sameTeam, TypeInterception)
       .otherwise(TypeReceival)
-    val extras = nx.filter(extraIdx).select(
-      col("game_id"),
+    val extra = struct(
       col("period_id"),
       (col("action_id").cast("double") + 0.1).as("aid_frac"),
       ((col("time_seconds") + col("nx_time_seconds")) / 2).as("time_seconds"),
@@ -89,7 +103,7 @@ object AtomicOps {
       lit(-1).as("result_id"),
       lit(BodypartFoot).as("bodypart_id"),
       col("seq"))
-    interleave(actions, extras)
+    explodeInterleave(nx, extraIdx, extra)
   }
 
   /** N17 — goal / owngoal / out rows after shots (`atomic/spadl/base.py:116-166`). */
@@ -105,36 +119,34 @@ object AtomicOps {
       samePeriod
     // mask order (`base.py:157-161`): out < goal < owngoal
     val typeId = when(owngoal, TypeOwngoal).when(goal, TypeGoal).otherwise(TypeOut)
-    val extras = nx.filter(goal || owngoal || out).select(
-      col("game_id"), col("period_id"),
+    val extra = struct(
+      col("period_id"),
       (col("action_id").cast("double") + 0.1).as("aid_frac"),
-      col("time_seconds"),
-      col("team_id"), col("player_id"),
+      col("time_seconds"), col("team_id"), col("player_id"),
       col("end_x").as("start_x"), col("end_y").as("start_y"),
       col("end_x").as("end_x"), col("end_y").as("end_y"),
       typeId.as("type_id"),
       lit(-1).as("result_id"),
       col("bodypart_id"),
       col("seq"))
-    interleave(actions, extras)
+    explodeInterleave(nx, goal || owngoal || out, extra)
   }
 
   /** N18 — yellow/red-card rows (`atomic/spadl/base.py:169-197`). */
   def extraFromFouls(actions: DataFrame): DataFrame = {
     val yellow = col("result_id") === ResultYellow
     val red = col("result_id") === ResultRed
-    val extras = actions.filter(yellow || red).select(
-      col("game_id"), col("period_id"),
+    val extra = struct(
+      col("period_id"),
       (col("action_id").cast("double") + 0.1).as("aid_frac"),
-      col("time_seconds"),
-      col("team_id"), col("player_id"),
+      col("time_seconds"), col("team_id"), col("player_id"),
       col("end_x").as("start_x"), col("end_y").as("start_y"),
       col("end_x").as("end_x"), col("end_y").as("end_y"),
       when(red, TypeRedCard).otherwise(TypeYellowCard).as("type_id"),
       lit(-1).as("result_id"),
       col("bodypart_id"),
       col("seq"))
-    interleave(actions, extras)
+    explodeInterleave(actions, yellow || red, extra)
   }
 
   /** `_add_dribbles` re-run inside the atomic chain operates on the
@@ -160,8 +172,7 @@ object AtomicOps {
       (d2 <= SpadlOps.MaxDribbleLength * SpadlOps.MaxDribbleLength) &&
       (col("nx_time_seconds") - col("time_seconds") < SpadlOps.MaxDribbleDuration) &&
       (col("period_id") === col("nx_period_id"))
-    val extras = nx.filter(cond).select(
-      col("game_id"),
+    val extra = struct(
       col("nx_period_id").cast("int").as("period_id"),
       (col("action_id").cast("double") + 0.1).as("aid_frac"),
       ((col("time_seconds") + col("nx_time_seconds")) / 2).as("time_seconds"),
@@ -173,7 +184,7 @@ object AtomicOps {
       lit(ResultSuccess).as("result_id"),
       lit(BodypartFoot).as("bodypart_id"),
       col("seq"))
-    interleave(actions, extras)
+    explodeInterleave(nx, cond, extra)
   }
 
   /** P19 + P18 — project to (x, y, dx, dy) and remap corner/freekick types

@@ -72,7 +72,6 @@ object SpadlOps {
     * the game_id partitioning under AQE).
     */
   def addDribbles(actions: DataFrame): DataFrame = {
-    val cols = actions.columns
     // pandas shift(-1, fill_value=0) gives the last row an all-zero neighbor;
     // period_id 0 never matches a real period so the last row emits nothing —
     // a null lead here is equivalent (all conditions null-safe false).
@@ -95,30 +94,37 @@ object SpadlOps {
       (d2 <= MaxDribbleLength * MaxDribbleLength) &&
       (col("nx_time_seconds") - col("time_seconds") < MaxDribbleDuration) &&
       (col("period_id") === col("nx_period_id"))
-    val dribbles = nx.filter(cond).select(
-      col("game_id"),
+    // PLAN SHAPE: emit base-plus-conditional-dribble as a 1-or-2 element
+    // array and explode — ONE pass over one lineage. The union formulation
+    // (base ∪ extras, both derived from `actions`) evaluates the upstream
+    // chain TWICE per insertion stage; chained stages double per stage
+    // (the atomic chain hit 16 scans). Values are identical: same row
+    // multiset, and the (period_id, aid_frac) resequencing key is a total
+    // order (unique action_id per game), so row_number assigns identically.
+    val base = struct(
+      col("period_id"),
+      col("action_id").cast("double").as("aid_frac"),
+      col("time_seconds"), col("team_id"), col("player_id"),
+      col("start_x"), col("start_y"), col("end_x"), col("end_y"),
+      col("type_id"), col("result_id"), col("bodypart_id"), col("seq"))
+    val dribble = struct(
       col("nx_period_id").cast("int").as("period_id"),
       (col("action_id").cast("double") + 0.1).as("aid_frac"),
       ((col("time_seconds") + col("nx_time_seconds")) / 2).as("time_seconds"),
       col("nx_team_id").as("team_id"),
       col("nx_player_id").as("player_id"),
-      col("end_x").as("start_x"),
-      col("end_y").as("start_y"),
-      col("nx_start_x").as("end_x"),
-      col("nx_start_y").as("end_y"),
+      col("end_x").as("start_x"), col("end_y").as("start_y"),
+      col("nx_start_x").as("end_x"), col("nx_start_y").as("end_y"),
       lit(TypeDribble).as("type_id"),
       lit(ResultSuccess).as("result_id"),
       lit(BodypartFoot).as("bodypart_id"),
       col("seq"))
-    val base = actions.withColumn("aid_frac", col("action_id").cast("double"))
-    val all = base.select("game_id", "period_id", "aid_frac", "time_seconds",
-        "team_id", "player_id", "start_x", "start_y", "end_x", "end_y",
-        "type_id", "result_id", "bodypart_id", "seq")
-      .unionByName(dribbles.select("game_id", "period_id", "aid_frac",
-        "time_seconds", "team_id", "player_id", "start_x", "start_y", "end_x",
-        "end_y", "type_id", "result_id", "bodypart_id", "seq"))
+    val exploded = nx
+      .select(col("game_id"),
+        explode(when(cond, array(base, dribble)).otherwise(array(base))).as("r"))
+      .select(col("game_id"), col("r.*"))
     val wReseq = Window.partitionBy("game_id").orderBy("period_id", "aid_frac")
-    all
+    exploded
       .withColumn("action_id", row_number().over(wReseq).cast("long") - 1)
       .drop("aid_frac")
       .select("game_id", "action_id", "period_id", "time_seconds", "team_id",

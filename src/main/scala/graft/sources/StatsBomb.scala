@@ -216,14 +216,26 @@ object StatsBomb {
   def insertInterceptionPasses(events: DataFrame, extra: Column): DataFrame = {
     val isInterceptionPass =
       name(extra.getField("pass").getField("type")) === "Interception"
-    val base = events
-      .withColumn("seq", col("seq") * 2 + 1)
-    val derived = events.filter(isInterceptionPass)
-      .withColumn("type_name", lit("Interception"))
-      .withColumn("extra",
-        lit("""{"interception": {"outcome": {"id": 16, "name": "Success In Play"}}}"""))
-      .withColumn("seq", col("seq") * 2)
-    base.unionByName(derived)
+    // one-pass explode (not base∪derived, which would scan the raw events
+    // twice): each interception-pass emits [derived interception, pass]
+    val cols = events.columns.filterNot(_ == "game_id")
+    val baseS = struct(cols.map {
+      case "seq" => (col("seq") * 2 + 1).as("seq")
+      case c => col(c).as(c)
+    }: _*)
+    val derivedS = struct(cols.map {
+      case "type_name" => lit("Interception").as("type_name")
+      case "extra" =>
+        lit("""{"interception": {"outcome": {"id": 16, "name": "Success In Play"}}}""")
+          .as("extra")
+      case "seq" => (col("seq") * 2).as("seq")
+      case c => col(c).as(c)
+    }: _*)
+    events
+      .select(col("game_id"),
+        explode(when(coalesce(isInterceptionPass, lit(false)), array(derivedS, baseS))
+          .otherwise(array(baseS))).as("r"))
+      .select(col("game_id"), col("r.*"))
   }
 
   /** Cell-grid → meters for a 2-element location; 3-element (goal-frame

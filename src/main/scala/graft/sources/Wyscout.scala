@@ -123,18 +123,31 @@ object Wyscout {
         "nx2_period", "nx2_sx", "nx2_sy", "won")
 
     // ---- step 3: interception insertion (N4, `:377-418`) ----------------
+    // one-pass explode (not base∪derived, which would evaluate the whole
+    // upstream chain twice): each carrier row emits [derived, base]
     val isInterceptionCarrier = col("interception") &&
       (col("type_id") === 8 || col("subtype_id").isin(70, 71))
-    val derived = d2.filter(isInterceptionCarrier)
-      .withColumn("type_id", lit(0))
-      .withColumn("subtype_id", lit(0))
-      .withColumn("end_x", col("start_x"))
-      .withColumn("end_y", col("start_y"))
-      .withColumn("seq", col("seq") * 2)
-    val derivedReset = tagCols.foldLeft(derived) { case (df, (n, _)) =>
-      df.withColumn(n, lit(n == "interception"))
-    }
-    val d3 = d2.withColumn("seq", col("seq") * 2 + 1).unionByName(derivedReset)
+    val d2cols = d2.columns.filterNot(_ == "game_id")
+    val tagNames = tagCols.map(_._1).toSet
+    val baseS = struct(d2cols.map {
+      case "seq" => (col("seq") * 2 + 1).as("seq")
+      case c => col(c).as(c)
+    }: _*)
+    val derivedS = struct(d2cols.map {
+      case "type_id" => lit(0).as("type_id")
+      case "subtype_id" => lit(0).as("subtype_id")
+      case "end_x" => col("start_x").as("end_x")
+      case "end_y" => col("start_y").as("end_y")
+      case "seq" => (col("seq") * 2).as("seq")
+      case "interception" => lit(true).as("interception")
+      case c if tagNames.contains(c) => lit(false).as(c)
+      case c => col(c).as(c)
+    }: _*)
+    val d3 = d2
+      .select(col("game_id"),
+        explode(when(isInterceptionCarrier, array(derivedS, baseS))
+          .otherwise(array(baseS))).as("r"))
+      .select(col("game_id"), col("r.*"))
     // post-insertion canonical order: stable (period, ms) with derived first
     val wMs = Window.partitionBy("game_id")
       .orderBy("period_id", "milliseconds", "seq")

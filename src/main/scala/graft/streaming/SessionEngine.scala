@@ -19,8 +19,9 @@ import graft.core.Spadl
   *     stream + watermark ⇒ identical output, resumable from checkpoint.
   *
   * Scale notes: state is bounded per game (~3k actions ≈ 300 KB); keys are
-  * (game_id) with optional (game_id, period_id) salting for long-match skew
-  * — the salted variant re-merges periods at emit time.
+  * (game_id). For long-match skew, [[SaltedSession.runBatch]] shards the
+  * same semantics over (game_id, period_id) and stitches the period
+  * boundaries from O(k·periods) fragments (bit-equal, SaltedSessionSpec).
   */
 object SessionEngine {
 
