@@ -123,11 +123,129 @@ final class OptaLoader(spark: SparkSession, root: String,
           array().cast("array<int>")).as("qualifiers"),
         col("qmap"))
       .filter(col("type_id") =!= 43) // deleted events
-    val named = base.join(broadcast(OptaLoader.eventTypes(spark)), Seq("type_id"), "left")
-    named
+    finishEvents(base)
+  }
+
+  /** Shared accessor tail: event-type dim join + the loader's canonical
+    * per-game ordering (`loader.py:455-478`). */
+  private def finishEvents(base: DataFrame): DataFrame =
+    base
+      .join(broadcast(OptaLoader.eventTypes(spark)), Seq("type_id"), "left")
       .withColumn("seq",
         row_number().over(Window.partitionBy("game_id")
           .orderBy("period_id", "minute", "second", "timestamp", "event_id")).cast("long"))
+
+  // ---- F24 XML feed (`parsers/f24_xml.py`) ----------------------------
+  // Spark 4's native XML source: rowTag "Game", attributes surfaced with
+  // the "_" prefix, child elements as struct arrays.
+
+  private def f24Xml(gameId: String): DataFrame =
+    spark.read.format("xml").option("rowTag", "Game")
+      .load(paths("f24xml", gameId = gameId): _*)
+
+  /** Game header from the F24 XML feed (`f24_xml.py:23-55`). */
+  def f24XmlGames(gameId: String = "*"): DataFrame =
+    f24Xml(gameId).select(
+      col("_id").cast("long").as("game_id"),
+      col("_season_id").cast("long").as("season_id"),
+      col("_competition_id").cast("long").as("competition_id"),
+      col("_matchday").cast("int").as("game_day"),
+      to_timestamp(col("_game_date")).as("game_date"),
+      col("_home_team_id").cast("long").as("home_team_id"),
+      col("_away_team_id").cast("long").as("away_team_id"),
+      col("_home_score").cast("long").as("home_score"),
+      col("_away_score").cast("long").as("away_score"))
+
+  /** Event rows from the F24 XML feed (`f24_xml.py:57-108`): identical
+    * semantics to the JSON flavor, attribute-prefixed fields. */
+  def f24XmlEvents(gameId: String): DataFrame = {
+    val raw = f24Xml(gameId).select(
+      col("_id").cast("long").as("game_id"),
+      explode(col("Event")).as("e"))
+    val qmap = map_from_entries(transform(col("e.Q"),
+      q => struct(q.getField("_qualifier_id").cast("int").as("key"),
+        q.getField("_value").cast("string").as("value"))))
+    def qnum(id: Int): Column = element_at(col("qmap"), id).cast("double")
+    val base = raw
+      .withColumn("qmap", qmap)
+      .select(
+        col("game_id"),
+        col("e._id").cast("long").as("event_id"),
+        col("e._period_id").cast("int").as("period_id"),
+        col("e._min").cast("long").as("minute"),
+        greatest(col("e._sec").cast("long"), lit(0L)).as("second"),
+        to_timestamp(col("e._timestamp")).as("timestamp"),
+        col("e._team_id").cast("long").as("team_id"),
+        col("e._player_id").cast("long").as("player_id"),
+        col("e._type_id").cast("int").as("type_id"),
+        coalesce(col("e._outcome").cast("int") === 1, lit(true)).as("outcome"),
+        col("e._x").cast("double").as("start_x"),
+        col("e._y").cast("double").as("start_y"),
+        coalesce(qnum(140), qnum(146), qnum(102), col("e._x").cast("double")).as("end_x"),
+        coalesce(qnum(141), qnum(147), qnum(103), col("e._y").cast("double")).as("end_y"),
+        coalesce(transform(col("e.Q"), q => q.getField("_qualifier_id").cast("int")),
+          array().cast("array<int>")).as("qualifiers"),
+        col("qmap"))
+      .filter(col("type_id") =!= 43)
+    finishEvents(base)
+  }
+
+  // ---- F24 JSON feed (`parsers/f24_json.py`) --------------------------
+
+  private def f24Game(gameId: String): DataFrame =
+    readJson(paths("f24", gameId = gameId))
+      .filter(col("data.Games").isNotNull)
+      .select(col("data.Games.Game").as("g"))
+
+  /** Game header from the F24 feed (`f24_json.py:25-66`). */
+  def f24Games(gameId: String = "*"): DataFrame =
+    f24Game(gameId).select(
+      col("g.`@attributes`.id").cast("long").as("game_id"),
+      col("g.`@attributes`.season_id").cast("long").as("season_id"),
+      col("g.`@attributes`.competition_id").cast("long").as("competition_id"),
+      col("g.`@attributes`.matchday").cast("int").as("game_day"),
+      to_timestamp(regexp_replace(col("g.`@attributes`.game_date.locale"), "Z$", ""))
+        .as("game_date"),
+      col("g.`@attributes`.home_team_id").cast("long").as("home_team_id"),
+      col("g.`@attributes`.away_team_id").cast("long").as("away_team_id"))
+
+  /** Event rows from the F24 feed (`f24_json.py:68-123`): `@attributes`
+    * bags, Q-qualifier map, the same end-coordinate qualifiers and
+    * accessor tail as MA3. */
+  def f24Events(gameId: String): DataFrame = {
+    val raw = f24Game(gameId).select(
+      col("g.`@attributes`.id").cast("long").as("game_id"),
+      explode(col("g.Event")).as("e"))
+    val a = col("e.`@attributes`")
+    val qmap = map_from_entries(transform(col("e.Q"),
+      q => struct(
+        q.getField("@attributes").getField("qualifier_id").cast("int").as("key"),
+        q.getField("@attributes").getField("value").cast("string").as("value"))))
+    def qnum(id: Int): Column = element_at(col("qmap"), id).cast("double")
+    val base = raw
+      .withColumn("qmap", qmap)
+      .select(
+        col("game_id"),
+        a.getField("id").cast("long").as("event_id"),
+        a.getField("period_id").cast("int").as("period_id"),
+        a.getField("min").cast("long").as("minute"),
+        greatest(a.getField("sec").cast("long"), lit(0L)).as("second"),
+        to_timestamp(regexp_replace(a.getField("TimeStamp").getField("locale"), "Z$", ""))
+          .as("timestamp"),
+        a.getField("team_id").cast("long").as("team_id"),
+        a.getField("player_id").cast("long").as("player_id"),
+        a.getField("type_id").cast("int").as("type_id"),
+        coalesce(a.getField("outcome").cast("int") === 1, lit(true)).as("outcome"),
+        a.getField("x").cast("double").as("start_x"),
+        a.getField("y").cast("double").as("start_y"),
+        coalesce(qnum(140), qnum(146), qnum(102), a.getField("x").cast("double")).as("end_x"),
+        coalesce(qnum(141), qnum(147), qnum(103), a.getField("y").cast("double")).as("end_y"),
+        coalesce(transform(col("e.Q"),
+          q => q.getField("@attributes").getField("qualifier_id").cast("int")),
+          array().cast("array<int>")).as("qualifiers"),
+        col("qmap"))
+      .filter(col("type_id") =!= 43)
+    finishEvents(base)
   }
 
   /** Players with minutes from the MA3 stream (`ma3_json.py:124-238`):
@@ -191,7 +309,9 @@ object OptaLoader {
 
   val StatsPerformFeeds: Map[String, String] = Map(
     "ma1" -> "ma1-{competition_id}-{season_id}.json",
-    "ma3" -> "ma3-{competition_id}-{season_id}-{game_id}.json")
+    "ma3" -> "ma3-{competition_id}-{season_id}-{game_id}.json",
+    "f24" -> "f24-{competition_id}-{season_id}-{game_id}.json",
+    "f24xml" -> "f24xml-{competition_id}-{season_id}-{game_id}.xml")
 
   def apply(spark: SparkSession, root: String): OptaLoader = new OptaLoader(spark, root)
 

@@ -59,6 +59,38 @@ class FeedLoaderSpec extends SparkSpec {
     assert(!p.contains("p4")) // substitute not in the setup lists
   }
 
+  test("opta: F24 JSON feed — game header, @attributes events, Q-qualifier map") {
+    val g = opta.f24Games("918").head()
+    assert(g.getAs[Long]("game_id") == 918L)
+    assert(g.getAs[Long]("home_team_id") == 10L)
+    assert(g.getAs[Int]("game_day") == 12)
+    val ev = opta.f24Events("918").cache()
+    assert(ev.filter(col("type_id") === 43).count() == 0) // deleted dropped
+    assert(ev.count() == 3)
+    val pass = ev.filter(col("event_id") === 2).head()
+    assert(pass.getAs[String]("type_name") == "pass")
+    assert(pass.getAs[Double]("end_x") == 62.5) // qualifier 140
+    assert(pass.getSeq[Int](pass.fieldIndex("qualifiers")).toSet == Set(140, 141, 1))
+    val goal = ev.filter(col("event_id") === 3).head()
+    assert(goal.getAs[Double]("end_x") == 99.0) // goal-line qualifier 102
+    assert(goal.getAs[Double]("end_y") == 51.0)
+  }
+
+  test("opta: F24 XML feed via the native XML source") {
+    val g = opta.f24XmlGames("919").head()
+    assert(g.getAs[Long]("game_id") == 919L)
+    assert(g.getAs[Long]("home_score") == 1L)
+    val ev = opta.f24XmlEvents("919").orderBy("event_id").collect()
+    assert(ev.length == 3)
+    assert(ev(1).getAs[String]("type_name") == "pass")
+    assert(ev(1).getAs[Double]("end_x") == 61.0) // qualifier 140
+    assert(ev(2).getAs[String]("type_name") == "attempt saved")
+    assert(ev(2).getAs[Double]("end_x") == 98.5) // blocked-shot qualifier 146
+    assert(!ev(2).getAs[Boolean]("outcome"))
+    assert(ev(0).getAs[Long]("player_id") == 0L ||
+      ev(0).isNullAt(ev(0).fieldIndex("player_id"))) // absent attribute → null
+  }
+
   test("opta: loader events feed the full converter") {
     val ev = opta.events("g900")
       .withColumn("game_id", lit(900L))
