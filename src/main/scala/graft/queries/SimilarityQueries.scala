@@ -86,6 +86,14 @@ object SimilarityQueries {
         .filter(col("cosine") >= 0.6)
     },
 
+    // IVF (k-means) ANN: learned centroids ⇒ rows-only (IvfSpec gates
+    // recall against brute force; full-probe search is asserted EXACT).
+    Q.rowsOnly("sim_ivf_ann") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val index = graft.sim.Ivf.fit(emb, nlist = 8, seed = 42L)
+      graft.sim.Ivf.search(emb, queriesDf(s, dir), index, k = 10, nprobe = 4)
+    },
+
     Q("sim_lsh_ann",
       s"""WITH e AS (
          |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings
