@@ -19,6 +19,32 @@ object Bench {
   def valuationPipeline(spark: SparkSession, sfDir: String): (Long, Double) =
     valuationPipelineOn(spark, SynActions.fromEvents(Tables.events(spark, sfDir)))
 
+  /** The packed-storage variant of the headline job: identical chain, but
+    * the one-hot groups materialize as bitmask longs
+    * (Features.packedFeaturesPostGoalscore) — same information, ~1/9th the
+    * columns. Reported alongside the headline (valuation_packed_*), NOT
+    * replacing it: the headline keeps the reference's column-per-feature
+    * output contract. */
+  def valuationPipelinePacked(spark: SparkSession,
+                              actions: org.apache.spark.sql.DataFrame): (Long, Double) = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    val decoded = TokenCodec.decode(TokenCodec.encode(actions))
+      .withColumn("seq", col("action_id"))
+    val valued = SessionEngine.runBatch(decoded)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = XThreat.fit(valued)
+    val states = GameStates.withStates(Features.withGoalscore(valued), 3)
+    val rated = states.select(
+      Seq(col("game_id"), col("action_id"), col("scores"), col("concedes"),
+        XThreat.rateColumn(model).as("xt_value")) ++
+        Features.packedFeaturesPostGoalscore(3): _*)
+    rated.write.mode("overwrite").format("noop").save()
+    val rows = valued.count()
+    valued.unpersist(blocking = false)
+    (rows, (System.nanoTime() - t0) / 1e9)
+  }
+
   def valuationPipelineOn(spark: SparkSession,
                           actions: org.apache.spark.sql.DataFrame): (Long, Double) = {
     import org.apache.spark.sql.functions._
@@ -82,13 +108,16 @@ object Bench {
     }
     val (rows, pipeSec) = valuationPipeline(spark, sfDir)
     val throughput = rows / pipeSec
+    val (prows, ppipeSec) = valuationPipelinePacked(spark,
+      SynActions.fromEvents(Tables.events(spark, sfDir)))
+    val pthroughput = prows / ppipeSec
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","cores":$cpus,"valuation_rows":$rows,"valuation_sec":$pipeSec,"valuation_rows_per_sec":$throughput}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","cores":$cpus,"valuation_rows":$rows,"valuation_sec":$pipeSec,"valuation_rows_per_sec":$throughput,"valuation_packed_sec":$ppipeSec,"valuation_packed_rows_per_sec":$pthroughput}""")
     spark.stop()
   }
 }

@@ -48,6 +48,51 @@ object Features {
     } yield (col(st("type_id", i)) === tid && col(st("result_id", i)) === rid)
       .as(s"actiontype_${tn}_result_${rn}_a$i")
 
+  // ---- packed one-hot encoding (training-data storage form) -----------
+  //
+  // The one-hot groups are single-category: exactly one of the 138
+  // actiontype×result bits (and one of 23 type bits, 6 result bits, ≤6
+  // bodypart bits) is set per state. Materializing them as boolean COLUMNS
+  // costs 567 expression slots and ~570 bytes/row of UnsafeRow traffic —
+  // the measured bandwidth bottleneck of the valuation job. The packed form
+  // stores the same information as bit positions in a handful of longs,
+  // computed by pure index arithmetic (no when-chains), and unpacks to the
+  // exact boolean columns on demand (`unpackActiontypeResult`, parity
+  // asserted in FeaturesSpec).
+
+  private val AtrBits = Spadl.actiontypes.length * Spadl.results.length // 138
+
+  /** actiontype×result one-hot for state i as 3 longs: bit (t·6+r) of the
+    * 138-bit word, split into 64-bit lanes. */
+  def actiontypeResultPacked(i: Int): Seq[Column] = {
+    val idx = col(st("type_id", i)) * Spadl.results.length + col(st("result_id", i))
+    (0 until (AtrBits + 63) / 64).map { w =>
+      when(idx >= w * 64 && idx < (w + 1) * 64,
+        call_function("shiftleft", lit(1L), (idx - w * 64).cast("int")))
+        .otherwise(0L).as(s"atr_packed_${w}_a$i")
+    }
+  }
+
+  /** type/result/bodypart one-hots for state i in ONE long:
+    * bits 0-22 = actiontype, 32-37 = result, 48-53 = raw bodypart id. */
+  def categoricalPacked(i: Int): Seq[Column] = Seq(
+    (call_function("shiftleft", lit(1L), col(st("type_id", i)).cast("int")) +
+      call_function("shiftleft", lit(1L), (col(st("result_id", i)) + 32).cast("int")) +
+      call_function("shiftleft", lit(1L), (col(st("bodypart_id", i)) + 48).cast("int")))
+      .as(s"cat_packed_a$i"))
+
+  /** Re-derive the boolean actiontype×result columns from the packed lanes
+    * (bit test per column — the lazy ML-boundary unpack). */
+  def unpackActiontypeResult(i: Int): Seq[Column] =
+    for {
+      (tn, tid) <- Spadl.actiontypes.zipWithIndex
+      (rn, rid) <- Spadl.results.zipWithIndex
+    } yield {
+      val idx = tid * Spadl.results.length + rid
+      (shiftright(col(s"atr_packed_${idx / 64}_a$i"), idx % 64).bitwiseAND(1) === 1)
+        .as(s"actiontype_${tn}_result_${rn}_a$i")
+    }
+
   def bodypart(i: Int): Seq[Column] = Seq(
     element_at(typedLit(Spadl.bodyparts), col(st("bodypart_id", i)) + 1)
       .as(s"bodypart_a$i"))
@@ -201,6 +246,20 @@ object Features {
   def defaultFeaturesPostGoalscore(k: Int): Seq[Column] =
     statelessFeatures(k) ++
       Seq(col("goalscore_team"), col("goalscore_opponent"), col("goalscore_diff"))
+
+  /** The default set in PACKED storage form: identical numeric features,
+    * one-hot groups as bitmask longs (~60 columns instead of ~570 at k=3).
+    * The training-data table this materializes carries the same
+    * information; consumers unpack lazily (`unpackActiontypeResult`). */
+  def packedFeaturesPostGoalscore(k: Int): Seq[Column] = {
+    val perState = (0 until k).flatMap { i =>
+      categoricalPacked(i) ++ actiontypeResultPacked(i) ++
+        time(i) ++ startlocation(i) ++ endlocation(i) ++
+        startpolar(i) ++ endpolar(i) ++ movement(i)
+    }
+    perState ++ (1 until k).flatMap(i => team(i) ++ timeDelta(i) ++ spaceDelta(i)) ++
+      Seq(col("goalscore_team"), col("goalscore_opponent"), col("goalscore_diff"))
+  }
 
   private def statelessFeatures(k: Int): Seq[Column] = {
     val perState = (0 until k).flatMap { i =>

@@ -97,4 +97,30 @@ class FeaturesSpec extends SparkSpec {
       assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
     }
   }
+
+  test("packed one-hots unpack to the exact boolean columns") {
+    import graft.core.{SynActions, Tables}
+    val st = graft.vaep.GameStates.withStates(
+      SynActions.fromEvents(Tables.events(spark, "/root/testdata/sf0.001")), 3)
+    for (i <- 0 until 3) {
+      val viaPacked = st
+        .select(Seq(col("game_id"), col("seq")) ++ Features.actiontypeResultPacked(i): _*)
+        .select(Seq(col("game_id"), col("seq")) ++ Features.unpackActiontypeResult(i): _*)
+      val direct = st
+        .select(Seq(col("game_id"), col("seq")) ++ Features.actiontypeResultOnehot(i): _*)
+      assert(viaPacked.exceptAll(direct).count() == 0, s"state $i")
+      assert(direct.exceptAll(viaPacked).count() == 0, s"state $i")
+    }
+    // exactly one atr bit set per row, and the categorical word carries
+    // type/result/bodypart in its three lanes
+    val packed = st.select(
+      (Features.actiontypeResultPacked(0) ++ Features.categoricalPacked(0)) :+
+        col(graft.vaep.GameStates.st("type_id", 0)).as("t"): _*)
+    packed.collect().foreach { r =>
+      val bits = (0 until 3).map(w => java.lang.Long.bitCount(r.getLong(w))).sum
+      assert(bits == 1)
+      val cat = r.getLong(3)
+      assert(java.lang.Long.numberOfTrailingZeros(cat) == r.getInt(4)) // type lane
+    }
+  }
 }
