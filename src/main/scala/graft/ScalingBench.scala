@@ -70,7 +70,8 @@ object ScalingBench {
     * sized independently: the codegen'd kernels made the corpus job ~10×
     * faster than round 1, so it needs ~10× more rows for the measured
     * window to dwarf fixed per-job overheads. */
-  def runOnce(cores: Int, sfDir: String, k: Int, kCorpus: Int): (Long, Double, Long, Double) = {
+  def runOnce(cores: Int, sfDir: String, k: Int, kCorpus: Int)
+      : (Long, Double, Long, Double, Double) = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
@@ -83,11 +84,12 @@ object ScalingBench {
     corpusJob(spark, "/root/testdata/sf0.001", 2)
     val actions = replicatedActions(spark, sfDir, k)
     val out = Bench.valuationPipelineOn(spark, actions)
+    val packed = Bench.valuationPipelinePacked(spark, actions)
     val corpus = corpusJob(spark, sfDir, kCorpus)
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    (out._1, out._2, corpus._1, corpus._2)
+    (out._1, out._2, corpus._1, corpus._2, packed._2)
   }
 
   /** Raw CPU scaling ceiling: spin-loop throughput ratio at 4N vs N threads. */
@@ -127,14 +129,14 @@ object ScalingBench {
     var rows = 0L
     var corpusRows = 0L
     val results = (1 to rounds).map { r =>
-      val (rs, ts, cs, tcs) = runOnce(nSmall, sfDir, k, kCorpus)
-      val (rl, tl, cl, tcl) = runOnce(nLarge, sfDir, k, kCorpus)
+      val (rs, ts, cs, tcs, tps) = runOnce(nSmall, sfDir, k, kCorpus)
+      val (rl, tl, cl, tcl, tpl) = runOnce(nLarge, sfDir, k, kCorpus)
       require(rs == rl && cs == cl, s"row counts differ: $rs/$rl $cs/$cl")
       rows = rs
       corpusRows = cs
       System.err.println(
-        f"round $r: valuation small=$ts%.1fs large=$tl%.1fs | corpus small=$tcs%.1fs large=$tcl%.1fs")
-      (ts, tl, tcs, tcl)
+        f"round $r: valuation small=$ts%.1fs large=$tl%.1fs | packed small=$tps%.1fs large=$tpl%.1fs | corpus small=$tcs%.1fs large=$tcl%.1fs")
+      (ts, tl, tcs, tcl, tps, tpl)
     }
 
     def report(name: String, n: Long, small: Seq[Double], large: Seq[Double]): Unit = {
@@ -146,6 +148,7 @@ object ScalingBench {
         s"""{"metric":"scaling_$name","sf":"$sfDir","rows":$n,"cores_small":$nSmall,"sec_small":$secS,"rows_per_sec_small":$thrS,"cores_large":$nLarge,"sec_large":$secL,"rows_per_sec_large":$thrL,"speedup":${thrL / thrS},"scaling_efficiency":${(thrL / thrS) / 4.0},"cpu_spin_ceiling_speedup":$ceiling,"efficiency_vs_ceiling":${(thrL / thrS) / ceiling},"times_small":[${small.mkString(",")}],"times_large":[${large.mkString(",")}]}""")
     }
     report("valuation", rows, results.map(_._1), results.map(_._2))
+    report("valuation_packed", rows, results.map(_._5), results.map(_._6))
     report("corpus", corpusRows, results.map(_._3), results.map(_._4))
   }
 }

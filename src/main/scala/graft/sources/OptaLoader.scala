@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Spadl
 
-/** S7/S8 — the Opta feed loader, Stats Perform MA1 (schedule) + MA3
-  * (match events) JSON feeds. Reference
-  * `socceraction/data/opta/loader.py:207-478` (feed-pattern dispatch,
-  * accessor assembly, event-type dim join, sort/cleanup) and
-  * `socceraction/data/opta/parsers/ma1_json.py` / `ma3_json.py` (field
-  * extraction, qualifier map, end-coordinate qualifiers, minutes algebra).
+/** S7/S8 — the Opta feed loader: Stats Perform MA1 (schedule) + MA3
+  * (match events) JSON feeds, classic F1 (schedule) / F9 (match result) /
+  * F24 (events) JSON feeds, and F7 / F24 XML feeds via Spark's native XML
+  * source. Reference `socceraction/data/opta/loader.py:207-478`
+  * (feed-pattern dispatch, accessor assembly, event-type dim join,
+  * sort/cleanup) and `socceraction/data/opta/parsers/` (per-feed field
+  * extraction, qualifier maps, end-coordinate qualifiers, minutes
+  * algebra).
   *
   * Feed files are located by glob patterns with `{competition_id}`,
   * `{season_id}`, `{game_id}` placeholders (same contract as the
@@ -134,6 +136,147 @@ final class OptaLoader(spark: SparkSession, root: String,
       .withColumn("seq",
         row_number().over(Window.partitionBy("game_id")
           .orderBy("period_id", "minute", "second", "timestamp", "event_id")).cast("long"))
+
+  // ---- F1 JSON feed (`parsers/f1_json.py`) ----------------------------
+  // Schedule feed: OptaFeed→OptaDocument with a MatchData list; uID values
+  // carry a one-letter prefix ("g123" → 123).
+
+  private def stripU(c: Column): Column = substring(c, 2, 1000).cast("long")
+
+  private def f1Doc(): DataFrame =
+    readJson(paths("f1"))
+      .filter(col("data.OptaFeed").isNotNull)
+      .select(col("data.OptaFeed.OptaDocument").as("d"))
+
+  /** Competitions from the F1 schedule (`f1_json.py:32-52`). */
+  def f1Competitions(): DataFrame =
+    f1Doc().select(
+      col("d.`@attributes`.competition_id").cast("long").as("competition_id"),
+      col("d.`@attributes`.competition_name").as("competition_name"),
+      col("d.`@attributes`.season_id").cast("long").as("season_id"),
+      col("d.`@attributes`.season_id").cast("string").as("season_name"))
+
+  /** Games from the F1 schedule (`f1_json.py:54-103`): per-match home/away
+    * sides and scores from TeamData. */
+  def f1Games(): DataFrame = {
+    val m = f1Doc().select(
+      col("d.`@attributes`.competition_id").cast("long").as("competition_id"),
+      col("d.`@attributes`.season_id").cast("long").as("season_id"),
+      explode(col("d.MatchData")).as("m"))
+    def side(s: String): Column =
+      element_at(filter(col("m.TeamData"),
+        t => t.getField("@attributes").getField("Side") === s), 1)
+        .getField("@attributes")
+    m.select(
+      stripU(col("m.`@attributes`.uID")).as("game_id"),
+      col("competition_id"), col("season_id"),
+      col("m.MatchInfo.`@attributes`.MatchDay").cast("int").as("game_day"),
+      to_timestamp(col("m.MatchInfo.Date")).as("game_date"),
+      stripU(side("Home").getField("TeamRef")).as("home_team_id"),
+      stripU(side("Away").getField("TeamRef")).as("away_team_id"),
+      side("Home").getField("Score").cast("long").as("home_score"),
+      side("Away").getField("Score").cast("long").as("away_score"))
+  }
+
+  // ---- F9 JSON feed (`parsers/f9_json.py`) ----------------------------
+  // Match-result feed: OptaDocument is a LIST; Stat entries are
+  // {@attributes: {Type}, @value} pairs.
+
+  private def f9Doc(gameId: String): DataFrame =
+    readJson(paths("f9", gameId = gameId))
+      .filter(col("data.OptaFeed").isNotNull)
+      .select(element_at(col("data.OptaFeed.OptaDocument"), 1).as("d"))
+
+  private def statOf(stats: Column, name: String): Column =
+    element_at(filter(stats,
+      s => s.getField("@attributes").getField("Type") === name), 1)
+      .getField("@value")
+
+  /** Game header from the F9 result feed (`f9_json.py:49-115`). */
+  def f9Games(gameId: String): DataFrame = {
+    val d = f9Doc(gameId)
+    def side(s: String): Column =
+      element_at(filter(col("d.MatchData.TeamData"),
+        t => t.getField("@attributes").getField("Side") === s), 1)
+        .getField("@attributes")
+    d.select(
+      stripU(col("d.`@attributes`.uID")).as("game_id"),
+      stripU(col("d.Competition.`@attributes`.uID")).as("competition_id"),
+      statOf(col("d.Competition.Stat"), "season_id").cast("long").as("season_id"),
+      statOf(col("d.Competition.Stat"), "matchday").cast("int").as("game_day"),
+      to_timestamp(col("d.MatchData.MatchInfo.Date"), "yyyyMMdd'T'HHmmssZ")
+        .as("game_date"),
+      stripU(side("Home").getField("TeamRef")).as("home_team_id"),
+      stripU(side("Away").getField("TeamRef")).as("away_team_id"),
+      side("Home").getField("Score").cast("long").as("home_score"),
+      side("Away").getField("Score").cast("long").as("away_score"),
+      statOf(col("d.MatchData.Stat"), "match_time").cast("long").as("duration"),
+      col("d.Venue.Name").as("venue"),
+      col("d.MatchData.MatchInfo.Attendance").cast("long").as("attendance"))
+  }
+
+  /** Teams from the F9 result feed (`f9_json.py:116-139`). */
+  def f9Teams(gameId: String): DataFrame =
+    f9Doc(gameId)
+      .select(explode(col("d.Team")).as("t"))
+      .filter(col("t.id").isNotNull)
+      .select(col("t.id").cast("long").as("team_id"),
+        col("t.nameObj.name").as("team_name"))
+
+  // ---- F7 XML feed (`parsers/f7_xml.py`) ------------------------------
+  // Same result-feed content in XML; Spark-native XML source with rowTag
+  // SoccerDocument; element text of attributed nodes lands in `_VALUE`.
+
+  private def f7Doc(gameId: String): DataFrame =
+    spark.read.format("xml").option("rowTag", "SoccerDocument")
+      .load(paths("f7", gameId = gameId): _*)
+
+  /** Game header from the F7 XML feed (`f7_xml.py:58-119`). */
+  def f7Games(gameId: String): DataFrame = {
+    val d = f7Doc(gameId)
+    def side(s: String): Column =
+      element_at(filter(col("MatchData.TeamData"), t => t.getField("_Side") === s), 1)
+    def statOfX(stats: Column, name: String): Column =
+      element_at(filter(stats, st => st.getField("_Type") === name), 1)
+        .getField("_VALUE")
+    d.select(
+      stripU(col("_uID")).as("game_id"),
+      stripU(col("Competition._uID")).as("competition_id"),
+      statOfX(col("Competition.Stat"), "season_id").cast("long").as("season_id"),
+      statOfX(col("Competition.Stat"), "matchday").cast("int").as("game_day"),
+      to_timestamp(col("MatchData.MatchInfo.Date"), "yyyyMMdd'T'HHmmssZ").as("game_date"),
+      stripU(side("Home").getField("_TeamRef")).as("home_team_id"),
+      stripU(side("Away").getField("_TeamRef")).as("away_team_id"),
+      side("Home").getField("_Score").cast("long").as("home_score"),
+      side("Away").getField("_Score").cast("long").as("away_score"),
+      statOfX(col("MatchData.Stat"), "match_time").cast("long").as("duration"),
+      col("Venue.Name").as("venue"),
+      col("MatchData.MatchInfo._Attendance").cast("long").as("attendance"))
+  }
+
+  /** Teams from the F7 XML feed (`f7_xml.py:121-140`). */
+  def f7Teams(gameId: String): DataFrame =
+    f7Doc(gameId)
+      .select(explode(col("Team")).as("t"))
+      .select(stripU(col("t._uID")).as("team_id"), col("t.Name").as("team_name"))
+
+  /** Starting lineups from the F7 XML feed (`f7_xml.py:142-210`, the
+    * per-player identity/shirt/position subset; the substitution-minutes
+    * algebra is implemented on the StatsBomb and MA3 paths). */
+  def f7Lineups(gameId: String): DataFrame =
+    f7Doc(gameId)
+      .select(stripU(col("_uID")).as("game_id"),
+        explode(col("MatchData.TeamData")).as("td"))
+      .select(col("game_id"),
+        stripU(col("td._TeamRef")).as("team_id"),
+        col("td._Formation").cast("string").as("formation"),
+        col("td._Side").as("side"),
+        explode(col("td.PlayerLineUp.MatchPlayer")).as("p"))
+      .select(col("game_id"), col("team_id"), col("formation"), col("side"),
+        stripU(col("p._PlayerRef")).as("player_id"),
+        col("p._Position").as("position"),
+        col("p._ShirtNumber").cast("long").as("jersey_number"),
+        (col("p._Status") === "Start").as("is_starter"))
 
   // ---- F24 XML feed (`parsers/f24_xml.py`) ----------------------------
   // Spark 4's native XML source: rowTag "Game", attributes surfaced with
@@ -311,7 +454,10 @@ object OptaLoader {
     "ma1" -> "ma1-{competition_id}-{season_id}.json",
     "ma3" -> "ma3-{competition_id}-{season_id}-{game_id}.json",
     "f24" -> "f24-{competition_id}-{season_id}-{game_id}.json",
-    "f24xml" -> "f24xml-{competition_id}-{season_id}-{game_id}.xml")
+    "f24xml" -> "f24xml-{competition_id}-{season_id}-{game_id}.xml",
+    "f1" -> "f1-{competition_id}-{season_id}.json",
+    "f9" -> "f9-{competition_id}-{season_id}-{game_id}.json",
+    "f7" -> "f7-{competition_id}-{season_id}-{game_id}.xml")
 
   def apply(spark: SparkSession, root: String): OptaLoader = new OptaLoader(spark, root)
 

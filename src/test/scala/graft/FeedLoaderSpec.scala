@@ -76,6 +76,49 @@ class FeedLoaderSpec extends SparkSpec {
     assert(goal.getAs[Double]("end_y") == 51.0)
   }
 
+  test("opta: F1 schedule feed (competitions, per-match sides and scores)") {
+    val c = opta.f1Competitions().head()
+    assert(c.getAs[Long]("competition_id") == 8L)
+    assert(c.getAs[String]("competition_name") == "Test League")
+    val g = opta.f1Games().orderBy("game_id").collect()
+    assert(g.length == 2)
+    assert(g(0).getAs[Long]("game_id") == 918L)
+    assert(g(0).getAs[Long]("home_team_id") == 10L)
+    assert(g(0).getAs[Long]("home_score") == 2L)
+    assert(g(1).getAs[Long]("home_team_id") == 20L) // sides flip per match
+    assert(g(1).getAs[Int]("game_day") == 13)
+  }
+
+  test("opta: F9 result feed (Stat pairs, Team list, duration/venue/attendance)") {
+    val g = opta.f9Games("918").head()
+    assert(g.getAs[Long]("game_id") == 918L)
+    assert(g.getAs[Long]("season_id") == 2026L)
+    assert(g.getAs[Long]("duration") == 94L)
+    assert(g.getAs[String]("venue") == "Test Arena")
+    assert(g.getAs[Long]("attendance") == 15000L)
+    assert(g.getAs[Long]("home_score") == 2L && g.getAs[Long]("away_score") == 1L)
+    assert(opta.f9Teams("918").collect()
+      .map(r => r.getAs[Long]("team_id") -> r.getAs[String]("team_name")).toMap ==
+      Map(10L -> "Home FC", 20L -> "Away United"))
+  }
+
+  test("opta: F7 XML feed (game header, teams, starting lineups)") {
+    val g = opta.f7Games("918").head()
+    assert(g.getAs[Long]("game_id") == 918L)
+    assert(g.getAs[Long]("duration") == 94L)
+    assert(g.getAs[Long]("home_team_id") == 10L)
+    assert(opta.f7Teams("918").count() == 2)
+    val lineup = opta.f7Lineups("918").collect()
+    assert(lineup.length == 5)
+    val p102 = lineup.find(_.getAs[Long]("player_id") == 102L).get
+    assert(p102.getAs[String]("position") == "Striker")
+    assert(p102.getAs[Long]("jersey_number") == 9L)
+    assert(p102.getAs[Boolean]("is_starter"))
+    val p103 = lineup.find(_.getAs[Long]("player_id") == 103L).get
+    assert(!p103.getAs[Boolean]("is_starter"))
+    assert(p103.getAs[String]("formation") == "442")
+  }
+
   test("opta: F24 XML feed via the native XML source") {
     val g = opta.f24XmlGames("919").head()
     assert(g.getAs[Long]("game_id") == 919L)
