@@ -278,6 +278,78 @@ final class OptaLoader(spark: SparkSession, root: String,
         col("p._ShirtNumber").cast("long").as("jersey_number"),
         (col("p._Status") === "Start").as("is_starter"))
 
+  // ---- WhoScored matchCentreData feed (`parsers/whoscored.py`) --------
+  // One JSON object per game (ids live in the file name); event types and
+  // outcomes are {value, displayName} pairs, qualifiers a list of typed
+  // objects, minutes already expanded across periods.
+
+  private def ws(gameId: String): DataFrame =
+    readJson(paths("whoscored", gameId = gameId))
+
+  /** Game header (`whoscored.py:97-131`); competition/season ids come from
+    * the feed path, so the caller passes them through. */
+  def wsGames(gameId: String, competitionId: Long, seasonId: Long): DataFrame =
+    ws(gameId).select(
+      lit(gameId.toLong).as("game_id"),
+      lit(competitionId).as("competition_id"),
+      lit(seasonId).as("season_id"),
+      to_timestamp(col("startTime")).as("game_date"),
+      col("home.teamId").cast("long").as("home_team_id"),
+      col("away.teamId").cast("long").as("away_team_id"),
+      col("home.scores.running").cast("long").as("home_score"),
+      col("away.scores.running").cast("long").as("away_score"),
+      col("expandedMaxMinute").cast("long").as("duration"),
+      col("referee.name").as("referee"),
+      col("attendance").cast("long").as("attendance"))
+
+  /** Both teams (`whoscored.py:133-150`). */
+  def wsTeams(gameId: String): DataFrame = {
+    val d = ws(gameId)
+    d.select(col("home.teamId").cast("long").as("team_id"),
+        col("home.name").as("team_name"))
+      .unionByName(d.select(col("away.teamId").cast("long").as("team_id"),
+        col("away.name").as("team_name")))
+  }
+
+  /** Event rows (`whoscored.py:189-249`): typed qualifier objects →
+    * id-value map, endX/endY preferred over qualifier-derived ends,
+    * expanded minutes, outcomeType.value as the outcome. */
+  def wsEvents(gameId: String): DataFrame = {
+    val raw = ws(gameId).select(
+      lit(gameId.toLong).as("game_id"),
+      explode(col("events")).as("e"))
+    val quals = col("e.qualifiers")
+    val qmap = map_from_entries(transform(quals,
+      q => struct(q.getField("type").getField("value").cast("int").as("key"),
+        coalesce(q.getField("value").cast("string"), lit("true")).as("value"))))
+    def qnum(id: Int): Column = element_at(col("qmap"), id).cast("double")
+    val base = raw
+      .withColumn("qmap", qmap)
+      .select(
+        col("game_id"),
+        coalesce(col("e.id"), col("e.eventId")).cast("long").as("event_id"),
+        col("e.period.value").cast("int").as("period_id"),
+        col("e.expandedMinute").cast("long").as("minute"),
+        greatest(coalesce(col("e.second"), lit(0L)).cast("long"), lit(0L)).as("second"),
+        lit(null).cast("timestamp").as("timestamp"), // not in the stream
+        col("e.teamId").cast("long").as("team_id"),
+        col("e.playerId").cast("long").as("player_id"),
+        col("e.type.value").cast("int").as("type_id"),
+        coalesce(col("e.outcomeType.value").cast("int") === 1, lit(true)).as("outcome"),
+        col("e.x").cast("double").as("start_x"),
+        col("e.y").cast("double").as("start_y"),
+        coalesce(col("e.endX").cast("double"), qnum(140), qnum(146), qnum(102),
+          col("e.x").cast("double")).as("end_x"),
+        coalesce(col("e.endY").cast("double"), qnum(141), qnum(147), qnum(103),
+          col("e.y").cast("double")).as("end_y"),
+        coalesce(transform(quals,
+          q => q.getField("type").getField("value").cast("int")),
+          array().cast("array<int>")).as("qualifiers"),
+        col("qmap"))
+      .filter(col("type_id") =!= 43)
+    finishEvents(base)
+  }
+
   // ---- F24 XML feed (`parsers/f24_xml.py`) ----------------------------
   // Spark 4's native XML source: rowTag "Game", attributes surfaced with
   // the "_" prefix, child elements as struct arrays.
@@ -457,7 +529,8 @@ object OptaLoader {
     "f24xml" -> "f24xml-{competition_id}-{season_id}-{game_id}.xml",
     "f1" -> "f1-{competition_id}-{season_id}.json",
     "f9" -> "f9-{competition_id}-{season_id}-{game_id}.json",
-    "f7" -> "f7-{competition_id}-{season_id}-{game_id}.xml")
+    "f7" -> "f7-{competition_id}-{season_id}-{game_id}.xml",
+    "whoscored" -> "ws-{competition_id}-{season_id}-{game_id}.json")
 
   def apply(spark: SparkSession, root: String): OptaLoader = new OptaLoader(spark, root)
 

@@ -119,6 +119,29 @@ class FeedLoaderSpec extends SparkSpec {
     assert(p103.getAs[String]("formation") == "442")
   }
 
+  test("opta: WhoScored matchCentreData feed") {
+    val g = opta.wsGames("555", competitionId = 1L, seasonId = 1L).head()
+    assert(g.getAs[Long]("game_id") == 555L)
+    assert(g.getAs[Long]("home_team_id") == 272L)
+    assert(g.getAs[Long]("home_score") == 2L && g.getAs[Long]("away_score") == 1L)
+    assert(g.getAs[Long]("duration") == 95L)
+    assert(g.getAs[String]("referee") == "R. Eferee")
+    assert(opta.wsTeams("555").collect()
+      .map(r => r.getAs[Long]("team_id") -> r.getAs[String]("team_name")).toMap ==
+      Map(272L -> "Home FC", 273L -> "Away United"))
+    val ev = opta.wsEvents("555").orderBy("event_id").collect()
+    assert(ev.length == 3)
+    val pass = ev.find(_.getAs[Long]("event_id") == 700002L).get
+    assert(pass.getAs[String]("type_name") == "pass")
+    assert(pass.getAs[Double]("end_x") == 61.2) // endX preferred
+    assert(pass.getSeq[Int](pass.fieldIndex("qualifiers")).toSet == Set(140, 141, 1))
+    val goal = ev.find(_.getAs[Long]("event_id") == 700003L).get
+    assert(goal.getAs[String]("type_name") == "goal")
+    assert(goal.getAs[Long]("minute") == 54L) // expandedMinute
+    assert(goal.getAs[Double]("end_x") == 49.2) // goal-line qualifier fallback
+    assert(goal.getAs[Int]("period_id") == 2)
+  }
+
   test("opta: F24 XML feed via the native XML source") {
     val g = opta.f24XmlGames("919").head()
     assert(g.getAs[Long]("game_id") == 919L)
