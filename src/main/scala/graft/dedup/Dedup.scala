@@ -138,11 +138,16 @@ object Dedup {
         concat_ws("_", (b * BandSize until (b + 1) * BandSize)
           .map(j => col(s"mh$j").cast("string")): _*)
       }: _*)).as(Seq("band_id", "band_key")))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // candidates via per-bucket postings lists (one shuffle of the banded
+    // rows) instead of a banded⋈banded self-join — the join formulation
+    // evaluates the whole signature chain once per side
+    val cand = banded
+      .groupBy("band_id", "band_key")
+      .agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val texts = documents.select(col("doc_id"), shingles(col("text"), n).as("sh"))
     val withSh = cand
@@ -203,10 +208,16 @@ object Dedup {
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until nBands).map(b =>
         shiftright(col("simhash"), b * bandBits).bitwiseAND(mask)): _*)).as(Seq("band_id", "band_key")))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
+    // per-bucket postings lists carrying (doc_id, simhash) pairs — one
+    // shuffle, simhash computed once (the self-join form doubled the
+    // 32-aggregate vote pass)
+    banded
+      .groupBy("band_id", "band_key")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
