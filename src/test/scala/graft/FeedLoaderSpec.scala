@@ -203,6 +203,34 @@ class FeedLoaderSpec extends SparkSpec {
     assert(tags.contains(101) && tags.contains(1203))
   }
 
+  test("public wyscout dataset: index-driven league files, lineup rosters, per-game event filter") {
+    import graft.sources.PublicWyscoutLoader
+    val pub = PublicWyscoutLoader(spark,
+      getClass.getResource("/public_wyscout").toString)
+    val comps = pub.competitions().collect()
+      .map(r => r.getAs[Long]("competition_id") -> r).toMap
+    assert(comps(364L).getAs[Long]("season_id") == 181150L) // dataset index
+    assert(comps(28L).getAs[String]("country_name") == "International")
+    val g = pub.games(364L, 181150L).head()
+    assert(g.getAs[Long]("game_id") == 2499719L)
+    assert(g.getAs[Long]("home_team_id") == 1609L)
+    assert(pub.teams(364L, 2499719L).collect()
+      .map(_.getAs[String]("team_name")).toSet == Set("Alpha FC", "Beta United"))
+    val players = pub.players(364L, 2499719L).collect()
+    assert(players.length == 4) // 3 starters + 1 bench
+    val bench = players.find(r => r.getAs[Long]("player_id") == 25415L &&
+      r.getAs[Long]("team_id") == 1609L).get
+    assert(!bench.getAs[Boolean]("is_starter"))
+    assert(bench.getAs[String]("player_name") == "Cam Tres")
+    val ev = pub.events(364L, 2499719L).orderBy("seq").collect()
+    assert(ev.length == 2) // the other game's event is filtered out
+    assert(ev(0).getAs[Int]("type_id") == 8 && ev(1).getAs[Int]("period_id") == 2)
+    // the public events plug straight into the full converter
+    val out = graft.sources.Wyscout.convertToActions(
+      pub.events(364L, 2499719L), lit(1609L)).collect()
+    assert(out.exists(_.getAs[Int]("type_id") == 11)) // the shot survives
+  }
+
   test("wyscout: loader events feed the full converter (goal mosaic applied)") {
     val out = Wyscout.convertToActions(wy.events(500), lit(3001L))
       .orderBy("action_id").collect()
