@@ -350,6 +350,36 @@ final class OptaLoader(spark: SparkSession, root: String,
     finishEvents(base)
   }
 
+  /** Substitutions from the WhoScored stream (`whoscored.py:251-274`):
+    * sub-on events (type 19) with the replaced player attached, plus the
+    * period-relative millisecond clock derived from periodMinuteLimits. */
+  def wsSubstitutions(gameId: String): DataFrame = {
+    val raw = ws(gameId).select(
+      lit(gameId.toLong).as("game_id"),
+      col("periodMinuteLimits").as("lims"),
+      explode(col("events")).as("e"))
+      .filter(col("e.type.value") === 19)
+    val periodId = col("e.period.value").cast("int")
+    // periodMinuteLimits is an object keyed by period-id string → read it
+    // as a map so the (dynamic) previous-period key can index it
+    val limsMap = from_json(to_json(col("lims")),
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.LongType))
+    val prevLimit = when(periodId > 1,
+      coalesce(element_at(limsMap, (periodId - 1).cast("string")), lit(0L)))
+      .otherwise(0L)
+    val periodMinute = col("e.minute").cast("long") - prevLimit
+    raw.select(
+      col("game_id"),
+      col("e.teamId").cast("long").as("team_id"),
+      periodId.as("period_id"),
+      ((periodMinute * 60 + coalesce(col("e.second"), lit(0L)).cast("long")) * 1000)
+        .as("period_milliseconds"),
+      col("e.playerId").cast("long").as("player_in_id"),
+      col("e.relatedPlayerId").cast("long").as("player_out_id"))
+  }
+
   // ---- F24 XML feed (`parsers/f24_xml.py`) ----------------------------
   // Spark 4's native XML source: rowTag "Game", attributes surfaced with
   // the "_" prefix, child elements as struct arrays.

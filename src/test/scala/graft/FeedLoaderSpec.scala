@@ -130,7 +130,7 @@ class FeedLoaderSpec extends SparkSpec {
       .map(r => r.getAs[Long]("team_id") -> r.getAs[String]("team_name")).toMap ==
       Map(272L -> "Home FC", 273L -> "Away United"))
     val ev = opta.wsEvents("555").orderBy("event_id").collect()
-    assert(ev.length == 3)
+    assert(ev.length == 4) // incl. the substitution-on event
     val pass = ev.find(_.getAs[Long]("event_id") == 700002L).get
     assert(pass.getAs[String]("type_name") == "pass")
     assert(pass.getAs[Double]("end_x") == 61.2) // endX preferred
@@ -140,6 +140,17 @@ class FeedLoaderSpec extends SparkSpec {
     assert(goal.getAs[Long]("minute") == 54L) // expandedMinute
     assert(goal.getAs[Double]("end_x") == 49.2) // goal-line qualifier fallback
     assert(goal.getAs[Int]("period_id") == 2)
+  }
+
+  test("opta: WhoScored substitutions with period-relative clocks") {
+    val subs = opta.wsSubstitutions("555").collect()
+    assert(subs.length == 1)
+    val s = subs(0)
+    assert(s.getAs[Long]("player_in_id") == 9003L)
+    assert(s.getAs[Long]("player_out_id") == 9001L)
+    assert(s.getAs[Int]("period_id") == 2)
+    // raw minute 63, period 2 starts at limit 45 → (63−45)·60+30 s
+    assert(s.getAs[Long]("period_milliseconds") == ((63 - 45) * 60 + 30) * 1000L)
   }
 
   test("opta: F24 XML feed via the native XML source") {
