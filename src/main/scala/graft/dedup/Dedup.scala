@@ -91,6 +91,35 @@ object Dedup {
       .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
   }
 
+  /** Default band-bucket occupancy cap for the LSH pair generators. A band
+    * bucket holding d docs contributes d·(d−1)/2 candidate pairs AND one
+    * collect_list row of d entries — both quadratic/unbounded when a
+    * degenerate bucket forms (exact-duplicate clusters, boilerplate or
+    * near-empty docs sharing a band signature). Buckets above the cap are
+    * dropped from pair generation, bounding per-bucket memory at cap
+    * entries and per-bucket work at cap²/2 — the same reasoning as
+    * [[DefaultDfCap]] for shingle postings. Recall note: a pair is kept if
+    * ANY of its shared buckets is under the cap, and giant buckets are
+    * dominated by exact-duplicate clusters — run [[exactDuplicates]] first
+    * (one cheap hash-groupBy) and LSH only over canonical survivors, and
+    * the cap costs essentially nothing. */
+  val DefaultBucketCap = 256
+
+  /** SimHash bucket cap. Unlike minhash bands (content-derived keys, huge
+    * keyspace — only true near-dup clusters collide, so a FIXED cap is
+    * right), simhash band keys live in the fixed 2^bandBits keyspace, so
+    * typical occupancy is structurally N / 2^bandBits and grows with the
+    * corpus. A degenerate bucket is therefore one far above EXPECTED
+    * occupancy: cap = max(DefaultBucketCap, SkewFactor · ⌈N / 2^bandBits⌉).
+    * Once N / 2^bandBits itself is too large for cap²-bounded pair work the
+    * banding is saturated and no cap can save it — widen the signature /
+    * bands (simhashPairs scaladoc), which this cap turns from an OOM into
+    * an explicit, logged drop. */
+  def simhashCapFor(corpusSize: Long, bandBits: Int = 8, skewFactor: Int = 16): Int = {
+    val expected = math.ceil(corpusSize.toDouble / (1L << bandBits)).toLong
+    math.max(DefaultBucketCap.toLong, skewFactor * expected).min(Int.MaxValue).toInt
+  }
+
   val NumMinhash = 16
   val BandSize = 4
   def minhashA(j: Int): Long = 1L + 7919L * j
@@ -130,7 +159,8 @@ object Dedup {
         min((lit(minhashA(j)) * col("h") + lit(minhashB(j))) % TextOps.HashPrime).as(s"mh$j")): _*)
   }
 
-  def minhashLshPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+  def minhashLshPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val nBands = NumMinhash / BandSize
     val sigs = minhashSignatures(documents, n)
     val banded = sigs.select(col("doc_id"),
@@ -140,11 +170,18 @@ object Dedup {
       }: _*)).as(Seq("band_id", "band_key")))
     // candidates via per-bucket postings lists (one shuffle of the banded
     // rows) instead of a banded⋈banded self-join — the join formulation
-    // evaluates the whole signature chain once per side
+    // evaluates the whole signature chain once per side. Buckets above
+    // `bucketCap` are dropped (see DefaultBucketCap) — mirrored in the
+    // DuckDB oracle — BEFORE any list is materialized: the occupancy
+    // window and the postings groupBy hash-partition on the same key, so
+    // Catalyst reuses ONE exchange and no row ever exceeds cap entries.
+    import org.apache.spark.sql.expressions.Window
+    val wBucket = Window.partitionBy("band_id", "band_key")
     val cand = banded
+      .withColumn("occ", count(lit(1)).over(wBucket))
+      .filter(col("occ").between(2, bucketCap))
       .groupBy("band_id", "band_key")
       .agg(collect_list("doc_id").as("ids"))
-      .filter(size(col("ids")) >= 2)
       .select(explode(col("ids")).as("doc_a"), col("ids"))
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
@@ -199,7 +236,8 @@ object Dedup {
     * N / 2^bandBits per band — shrink bandBits (more, narrower bands) only
     * for higher Hamming radii, and widen it (e.g. 2 × 16 bits for Hamming
     * ≤ 1) to keep occupancy bounded as N grows. */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 3, bandBits: Int = 8): DataFrame = {
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3, bandBits: Int = 8,
+                   bucketCap: Int = DefaultBucketCap): DataFrame = {
     val nBands = SimhashBits / bandBits
     require(nBands >= maxHamming + 1,
       s"need ≥ ${maxHamming + 1} bands for Hamming ≤ $maxHamming, got $nBands")
@@ -210,11 +248,16 @@ object Dedup {
         shiftright(col("simhash"), b * bandBits).bitwiseAND(mask)): _*)).as(Seq("band_id", "band_key")))
     // per-bucket postings lists carrying (doc_id, simhash) pairs — one
     // shuffle, simhash computed once (the self-join form doubled the
-    // 32-aggregate vote pass)
+    // 32-aggregate vote pass). Over-`bucketCap` buckets are dropped via an
+    // occupancy window BEFORE collect_list (shared exchange, bounded rows)
+    // — see DefaultBucketCap; mirrored in the DuckDB oracle.
+    import org.apache.spark.sql.expressions.Window
+    val wBucket = Window.partitionBy("band_id", "band_key")
     banded
+      .withColumn("occ", count(lit(1)).over(wBucket))
+      .filter(col("occ").between(2, bucketCap))
       .groupBy("band_id", "band_key")
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a.doc_id") < col("b.doc_id"))

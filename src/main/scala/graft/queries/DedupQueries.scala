@@ -119,10 +119,14 @@ object DedupQueries {
          |  SELECT doc_id, text, $shinglesSql AS sh FROM aug
          |), banded AS (
          |$bands
+         |), keep AS (
+         |  SELECT band_id, band_key FROM banded GROUP BY 1, 2
+         |  HAVING count(*) BETWEEN 2 AND ${Dedup.DefaultBucketCap}
          |), cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    a.text AS text_a, b.text AS text_b
          |  FROM banded a
+         |  JOIN keep k ON a.band_id = k.band_id AND a.band_key = k.band_key
          |  JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
          |    AND a.doc_id < b.doc_id
          |), verified AS (
@@ -151,13 +155,22 @@ object DedupQueries {
          |), banded AS (
          |  SELECT doc_id, simhash, b.band_id, (simhash >> (b.band_id * 8)) & 255 AS band_key
          |  FROM sv, (SELECT unnest([0, 1, 2, 3]) AS band_id) b
+         |), keep AS (
+         |  -- skew-relative occupancy cap, same formula as Dedup.simhashCapFor
+         |  SELECT band_id, band_key FROM banded GROUP BY 1, 2
+         |  HAVING count(*) BETWEEN 2 AND
+         |    greatest(${Dedup.DefaultBucketCap},
+         |      16 * CAST(ceil((SELECT count(*) FROM aug) / 256.0) AS BIGINT))
          |)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  bit_count(xor(a.simhash, b.simhash)) AS hamming
          |FROM banded a
+         |JOIN keep k ON a.band_id = k.band_id AND a.band_key = k.band_key
          |JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
          |  AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin) { (s, dir) =>
-      Dedup.simhashPairs(augmented(s, dir), maxHamming = 3)
+      val aug = augmented(s, dir)
+      Dedup.simhashPairs(aug, maxHamming = 3,
+        bucketCap = Dedup.simhashCapFor(aug.count(), bandBits = 8))
     })
 }

@@ -28,9 +28,26 @@ object SimilarityQueries {
       s"i -> $emb[i]::DOUBLE * ((($p * 73 + (i - 1) * 179) % 97 - 48)::DOUBLE)), (x, y) -> x + y)"
   }
 
-  private def bucketSql(emb: String): String =
-    (0 until Similarity.NumPlanes).map { p =>
-      s"(CASE WHEN ${planeProjSql(emb, p)} > 0 THEN ${1L << p} ELSE 0 END)"
+  /** Oracle expansion cap for the corpus-sized plane count (test SFs yield
+    * 4–6 planes; anything ≤ MaxOraclePlanes mirrors exactly). */
+  private val MaxOraclePlanes = 16
+
+  /** CTE computing the corpus-sized plane count — the same pure-integer
+    * `smallest p with n ≤ occupancy·2^p, floored` rule as
+    * [[Similarity.planesFor]], so Spark (driver count) and DuckDB (scalar
+    * subquery) agree exactly, including at power-of-two boundaries. */
+  private def planesCte(corpus: String): String =
+    s"""np AS (
+       |  SELECT CAST(min(p) AS INT) AS npl
+       |  FROM (SELECT unnest(range(${Similarity.PairGenMinPlanes}, $MaxOraclePlanes + 1)) AS p)
+       |  WHERE (SELECT count(*) FROM $corpus) <= ${Similarity.PairGenOccupancy} * (1::BIGINT << p)
+       |)""".stripMargin
+
+  /** Bucket signature with the plane count read from the `np` CTE: bit p
+    * contributes only when p < npl. */
+  private def sizedBucketSql(emb: String): String =
+    (0 until MaxOraclePlanes).map { p =>
+      s"(CASE WHEN $p < npl THEN (CASE WHEN ${planeProjSql(emb, p)} > 0 THEN ${1L << p} ELSE 0 END) ELSE 0 END)"
     }.mkString(" + ")
 
   val all: Seq[Q] = Seq(
@@ -66,8 +83,8 @@ object SimilarityQueries {
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL
          |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0
-         |), e AS (
-         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM aug
+         |), ${planesCte("aug")}, e AS (
+         |  SELECT vec_id, embedding, ${sizedBucketSql("embedding")} AS bucket FROM aug, np
          |)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  ${cosineSql("a.embedding", "b.embedding")} AS cosine
@@ -76,9 +93,13 @@ object SimilarityQueries {
       val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val dups = base.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
-      val e = base.unionByName(dups)
-        .select(col("vec_id"), col("embedding"),
-          Similarity.lshBucket(col("embedding")).as("bucket"))
+      val aug = base.unionByName(dups)
+      // corpus-sized signature (planesFor): one cheap driver count — the
+      // standard index-build pattern — then a fixed-width bucket expression
+      val planes = Similarity.planesFor(aug.count(),
+        Similarity.PairGenOccupancy, Similarity.PairGenMinPlanes)
+      val e = aug.select(col("vec_id"), col("embedding"),
+        Similarity.lshBucket(col("embedding"), planes).as("bucket"))
       e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -95,11 +116,11 @@ object SimilarityQueries {
     },
 
     Q("sim_lsh_ann",
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings
+      s"""WITH ${planesCte("embeddings")}, e AS (
+         |  SELECT vec_id, embedding, ${sizedBucketSql("embedding")} AS bucket FROM embeddings, np
          |), q AS (
-         |  SELECT vec_id AS query_id, embedding AS q_emb, ${bucketSql("embedding")} AS bucket
-         |  FROM embeddings WHERE vec_id < 5
+         |  SELECT vec_id AS query_id, embedding AS q_emb, ${sizedBucketSql("embedding")} AS bucket
+         |  FROM embeddings, np WHERE vec_id < 5
          |), scored AS (
          |  SELECT q.query_id, e.vec_id, ${cosineSql("q.q_emb", "e.embedding")} AS cosine
          |  FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
@@ -108,6 +129,9 @@ object SimilarityQueries {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rk
          |  FROM scored
          |) WHERE rk <= 10""".stripMargin) { (s, dir) =>
-      Similarity.lshTopK(Tables.embeddings(s, dir), queriesDf(s, dir), 10)
+      val emb = Tables.embeddings(s, dir)
+      val planes = Similarity.planesFor(emb.count(),
+        Similarity.PairGenOccupancy, Similarity.PairGenMinPlanes)
+      Similarity.lshTopK(emb, queriesDf(s, dir), 10, planes)
     })
 }

@@ -59,11 +59,23 @@ object Similarity {
     * finer bucketing is recovered the standard way: multi-probe (flip the
     * lowest-|projection| bits) or banded signatures, both composable with
     * `lshBucket(emb, planes)`. */
-  def planesFor(corpusSize: Long, targetOccupancy: Long = 4096): Int = {
-    val needed = math.ceil(
-      math.log(math.max(corpusSize.toDouble / targetOccupancy, 1.0)) / math.log(2.0)).toInt
-    math.max(NumPlanes, needed)
-  }
+  def planesFor(corpusSize: Long, targetOccupancy: Long = 4096,
+                minPlanes: Int = NumPlanes): Int =
+    // smallest p with corpusSize ≤ targetOccupancy · 2^p, floored at
+    // minPlanes. Pure integer math (no float log2) so a SQL oracle computing
+    // the same count from the same row count is exact at power-of-two
+    // boundaries too.
+    (minPlanes to 62).find(p => corpusSize <= (targetOccupancy << p) || (targetOccupancy << p) < 0)
+      .getOrElse(62)
+
+  /** Pair-generation occupancy target: exact-cosine verification work per
+    * bucket is occupancy²/2, so the near-dup/ANN query paths size buckets to
+    * ~[[PairGenOccupancy]] vectors with a low floor (tiny corpora want FEW
+    * planes — more collisions, richer candidates — not the production
+    * 8-plane default). At n = 10⁹ this yields 24 planes (~16M buckets of
+    * ~64); at test SFs it yields 4–6, exercising the non-default path. */
+  val PairGenOccupancy = 64L
+  val PairGenMinPlanes = 4
 
   /** Deterministic pseudo-random hyperplane component: lane i of plane p. */
   def planeComponent(p: Int, i: Int): Double = (((p * 73 + i * 179) % 97) - 48).toDouble
@@ -82,11 +94,12 @@ object Similarity {
   /** IVF/LSH-style ANN: candidates share the bucket signature with the
     * query; exact cosine + top-k inside the bucket only. At corpus scale the
     * bucket join replaces the O(N·Q) scan with O(occupancy·Q). */
-  def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+              planes: Int = NumPlanes): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = embeddings.withColumn("bucket", lshBucket(col("embedding")))
+    val e = embeddings.withColumn("bucket", lshBucket(col("embedding"), planes))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .withColumn("bucket", lshBucket(col("q_emb")))
+      .withColumn("bucket", lshBucket(col("q_emb"), planes))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))

@@ -84,9 +84,39 @@ class DedupSpec extends SparkSpec {
     assert(uncapped == 10) // all C(5,2) pairs share the boilerplate shingle
   }
 
+  test("bucket cap drops degenerate LSH band buckets (1k identical docs)") {
+    // 1000 exact copies: every band bucket holds all 1000 docs — without a
+    // cap that's a 1000-entry collect_list row and 500k pair candidates per
+    // band. With the cap the degenerate bucket is dropped entirely (the
+    // exact-dedup-first precondition handles the cluster), while a small
+    // genuine near-dup cluster in the same corpus is still found.
+    val degenerate = (1L to 1000L).map(i => (i, "same boilerplate text repeated everywhere always"))
+    val distinct = Seq(
+      (2001L, "a genuinely unique document about spark shuffles and joins"),
+      (2002L, "a genuinely unique document about spark shuffles and joins"))
+    val corpus = (degenerate ++ distinct).toDF("doc_id", "text")
+    val mh = Dedup.minhashLshPairs(corpus, n = 3, threshold = 0.9, bucketCap = 256)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == Set((2001L, 2002L))) // degenerate bucket dropped, real pair kept
+    val sh = Dedup.simhashPairs(corpus, maxHamming = 3, bucketCap = 256)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh == Set((2001L, 2002L)))
+    // simhashCapFor: skew-relative — fixed floor at small N, 16× expected above
+    assert(Dedup.simhashCapFor(1000L) == 256)
+    assert(Dedup.simhashCapFor(1000000L) == 16 * math.ceil(1000000.0 / 256).toInt)
+  }
+
   test("planesFor sizes the LSH signature to corpus scale") {
     assert(Similarity.planesFor(1000) == Similarity.NumPlanes) // floor
     assert(Similarity.planesFor(1000000000L, 4096) == 18)
+    // pair-generation sizing (query-path knobs): data-dependent, low floor
+    assert(Similarity.planesFor(550, 64, 4) == 4)
+    assert(Similarity.planesFor(2200, 64, 4) == 6)
+    // inclusive at exact power-of-two boundaries (integer math, no log2 ulp)
+    assert(Similarity.planesFor(1L << 18, 64, 4) == 12)
+    assert(Similarity.planesFor((1L << 18) + 1, 64, 4) == 13)
+    // 10⁹ vectors at occupancy 64 → 24 planes
+    assert(Similarity.planesFor(1000000000L, 64, 4) == 24)
     // occupancy n / 2^p stays ≤ target as n grows 1000×
     for (n <- Seq(1e6.toLong, 1e9.toLong, 1e12.toLong)) {
       val p = Similarity.planesFor(n, 4096)
