@@ -17,9 +17,84 @@ object XtQueries {
   private def actions(s: SparkSession, dir: String): DataFrame =
     SynActions.fromEvents(Tables.events(s, dir))
 
+  /** Freeze-chain length for the converged-surface oracle: must exceed the
+    * data-dependent iteration count (7 at sf0.01; contraction rate is the
+    * overall move-success mass, so the count moves only logarithmically in
+    * eps and barely with SF). */
+  val MaxSolveSteps = 32
+
   private val cellSql = XThreat.flatCellIndexSql("start_x", "start_y")
   private val endCellSql = XThreat.flatCellIndexSql("end_x", "end_y")
   private val moveSql = "type_id IN (0, 1, 21)"
+
+  /** Shared fit-statistics CTE prefix: cell spine, goal·shot product gs,
+    * move probability, sparse transition matrix, zero surface it0. */
+  private def fitStatsCtes: String = {
+    val n = XThreat.DefaultL * XThreat.DefaultW
+    s"""$OracleCte, spine AS MATERIALIZED (
+       |  SELECT range AS cell FROM range(0, $n)
+       |), cs AS MATERIALIZED (
+       |  SELECT $cellSql AS cell,
+       |    sum(CASE WHEN type_id = 11 THEN 1 ELSE 0 END) AS shots,
+       |    sum(CASE WHEN type_id = 11 AND result_id = 1 THEN 1 ELSE 0 END) AS goals,
+       |    sum(CASE WHEN $moveSql THEN 1 ELSE 0 END) AS moves
+       |  FROM actions GROUP BY 1
+       |), g AS MATERIALIZED (
+       |  SELECT s.cell,
+       |    (CASE WHEN cs.shots <> 0 THEN cs.goals / cs.shots ELSE 0.0 END)
+       |      * (CASE WHEN cs.shots + cs.moves <> 0 THEN cs.shots / (cs.shots + cs.moves) ELSE 0.0 END) AS gs,
+       |    coalesce(CASE WHEN cs.shots + cs.moves <> 0 THEN cs.moves / (cs.shots + cs.moves) ELSE 0.0 END, 0.0) AS pmove
+       |  FROM spine s LEFT JOIN cs ON s.cell = cs.cell
+       |), moves AS MATERIALIZED (
+       |  SELECT $cellSql AS start_cell, $endCellSql AS end_cell, result_id
+       |  FROM actions WHERE $moveSql
+       |), sc AS MATERIALIZED (
+       |  SELECT start_cell, count(*) AS n_start FROM moves GROUP BY 1
+       |), trans AS MATERIALIZED (
+       |  SELECT m.start_cell, m.end_cell, count(*) / any_value(sc.n_start) AS p
+       |  FROM moves m JOIN sc ON m.start_cell = sc.start_cell
+       |  WHERE m.result_id = 1
+       |  GROUP BY m.start_cell, m.end_cell
+       |), it0 AS MATERIALIZED (
+       |  SELECT cell, 0.0::DOUBLE AS v FROM spine
+       |)""".stripMargin
+  }
+
+  /** Freeze-chain CTEs solving to the eps=1e-5 fixpoint: step k applies the
+    * raw update only while unfrozen (d$k carries the cumulative stop flag,
+    * computed with the driver's signed max-improvement test); after the
+    * converging step every it$k copies values verbatim, so
+    * it$MaxSolveSteps IS the converged surface. */
+  private def convergedChainCtes: String = {
+    val chain = (1 to MaxSolveSteps).map { k =>
+      s"""${updateCte(s"u$k", s"it${k - 1}")}, d$k AS MATERIALIZED (
+         |  SELECT ((SELECT f FROM d${k - 1}) OR
+         |    (SELECT max(u.v - x.v) FROM u$k u JOIN it${k - 1} x ON u.cell = x.cell) <= 1e-5) AS f
+         |), it$k AS MATERIALIZED (
+         |  SELECT u.cell, CASE WHEN (SELECT f FROM d${k - 1}) THEN x.v ELSE u.v END AS v
+         |  FROM u$k u JOIN it${k - 1} x ON u.cell = x.cell
+         |)""".stripMargin
+    }.mkString(", ")
+    s"d0 AS MATERIALIZED (SELECT false AS f), $chain"
+  }
+
+  /** Driver-equivalent iteration count: unfrozen steps + the converging one. */
+  private def iterCountSql: String =
+    (1 to MaxSolveSteps)
+      .map(k => s"(CASE WHEN (SELECT f FROM d$k) THEN 0 ELSE 1 END)").mkString(" + ") + " + 1"
+
+  /** One raw value-iteration step (left-fold ordered sums — bit-exact vs the
+    * driver's ascending-j loop, zero terms being exact no-ops). */
+  private def updateCte(name: String, prev: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT g.cell, g.gs + g.pmove * coalesce(
+       |      list_reduce(list(t.p * x.v ORDER BY t.end_cell), (a, b) -> a + b),
+       |      0.0::DOUBLE) AS v
+       |  FROM g
+       |  LEFT JOIN trans t ON t.start_cell = g.cell
+       |  LEFT JOIN $prev x ON x.cell = t.end_cell
+       |  GROUP BY g.cell, g.gs, g.pmove
+       |)""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -65,7 +140,7 @@ object XtQueries {
       s"""$OracleCte, moves AS (
          |  SELECT $cellSql AS start_cell, $endCellSql AS end_cell, result_id
          |  FROM actions WHERE $moveSql
-         |), sc AS (
+         |), sc AS MATERIALIZED (
          |  SELECT start_cell, count(*) AS n_start FROM moves GROUP BY 1
          |)
          |SELECT m.start_cell, m.end_cell, count(*) / any_value(sc.n_start) AS p
@@ -75,11 +150,18 @@ object XtQueries {
       XThreat.transitionEntries(actions(s, dir))
     },
 
-    // The solved surface: driver-side value iteration — the CONVERGED
-    // surface stays rows-only (iteration count is data-dependent), but the
-    // fixed-5-step solve below is value-golden, which makes the solve math
-    // itself oracle-checked.
-    Q.rowsOnly("xt_fit_surface") { (s, dir) =>
+    // The solved surface, value-golden to the eps=1e-5 fixpoint: the oracle
+    // runs a freeze-chain of MaxSolveSteps value-iteration steps — once the
+    // max per-cell improvement drops ≤ eps (the driver's stop test, computed
+    // the same signed way), every later step copies values verbatim, so
+    // step K equals the driver's converged surface bit-for-bit and the
+    // iteration count = (#unfrozen steps) + 1. Data-dependent iteration
+    // counts up to MaxSolveSteps are covered; XThreatSpec pins the margin.
+    Q("xt_fit_surface", {
+      s"""$fitStatsCtes, $convergedChainCtes
+         |SELECT cell, v AS xt_value, CAST($iterCountSql AS INT) AS iterations
+         |FROM it$MaxSolveSteps""".stripMargin
+    }) { (s, dir) =>
       import s.implicits._
       val model = XThreat.fit(actions(s, dir))
       model.xT.zipWithIndex.toSeq
@@ -93,45 +175,8 @@ object XtQueries {
     // the same fold as list_reduce over the sparse entries in end_cell
     // order seeded by the first term).
     Q("xt_value_iteration", {
-      val n = XThreat.DefaultL * XThreat.DefaultW
-      val iters = (1 to 5).map { k =>
-        s"""it$k AS (
-           |  SELECT g.cell, g.gs + g.pmove * coalesce(
-           |      list_reduce(list(t.p * x.v ORDER BY t.end_cell), (a, b) -> a + b),
-           |      0.0::DOUBLE) AS v
-           |  FROM g
-           |  LEFT JOIN trans t ON t.start_cell = g.cell
-           |  LEFT JOIN it${k - 1} x ON x.cell = t.end_cell
-           |  GROUP BY g.cell, g.gs, g.pmove
-           |)""".stripMargin
-      }.mkString(", ")
-      s"""$OracleCte, spine AS (
-         |  SELECT range AS cell FROM range(0, $n)
-         |), cs AS (
-         |  SELECT $cellSql AS cell,
-         |    sum(CASE WHEN type_id = 11 THEN 1 ELSE 0 END) AS shots,
-         |    sum(CASE WHEN type_id = 11 AND result_id = 1 THEN 1 ELSE 0 END) AS goals,
-         |    sum(CASE WHEN $moveSql THEN 1 ELSE 0 END) AS moves
-         |  FROM actions GROUP BY 1
-         |), g AS (
-         |  SELECT s.cell,
-         |    (CASE WHEN cs.shots <> 0 THEN cs.goals / cs.shots ELSE 0.0 END)
-         |      * (CASE WHEN cs.shots + cs.moves <> 0 THEN cs.shots / (cs.shots + cs.moves) ELSE 0.0 END) AS gs,
-         |    coalesce(CASE WHEN cs.shots + cs.moves <> 0 THEN cs.moves / (cs.shots + cs.moves) ELSE 0.0 END, 0.0) AS pmove
-         |  FROM spine s LEFT JOIN cs ON s.cell = cs.cell
-         |), moves AS (
-         |  SELECT $cellSql AS start_cell, $endCellSql AS end_cell, result_id
-         |  FROM actions WHERE $moveSql
-         |), sc AS (
-         |  SELECT start_cell, count(*) AS n_start FROM moves GROUP BY 1
-         |), trans AS (
-         |  SELECT m.start_cell, m.end_cell, count(*) / any_value(sc.n_start) AS p
-         |  FROM moves m JOIN sc ON m.start_cell = sc.start_cell
-         |  WHERE m.result_id = 1
-         |  GROUP BY m.start_cell, m.end_cell
-         |), it0 AS (
-         |  SELECT cell, 0.0::DOUBLE AS v FROM spine
-         |), $iters
+      val iters = (1 to 5).map(k => updateCte(s"it$k", s"it${k - 1}")).mkString(", ")
+      s"""$fitStatsCtes, $iters
          |SELECT cell, v AS xt_value FROM it5""".stripMargin
     }) { (s, dir) =>
       import s.implicits._
@@ -141,8 +186,17 @@ object XtQueries {
         .toDF("cell", "xt_value")
     },
 
-    // Rating with the genuinely fitted surface — rows-only.
-    Q.rowsOnly("xt_rate") { (s, dir) =>
+    // Rating with the genuinely fitted surface — value-golden since the
+    // converged surface itself is (freeze chain + list lookup).
+    Q("xt_rate",
+      s"""$fitStatsCtes, $convergedChainCtes, gl AS MATERIALIZED (
+         |  SELECT list(v ORDER BY cell) AS grid FROM it$MaxSolveSteps
+         |)
+         |SELECT game_id, action_id, seq,
+         |  CASE WHEN $moveSql AND result_id = 1
+         |       THEN list_extract(grid, $endCellSql + 1) - list_extract(grid, $cellSql + 1)
+         |  END AS xt_value
+         |FROM actions, gl""".stripMargin) { (s, dir) =>
       val a = actions(s, dir)
       val model = XThreat.fit(a)
       a.withColumn("xt_value", XThreat.rateColumn(model))
@@ -163,6 +217,54 @@ object XtQueries {
         grid, grid, grid, Array(), grid, 0)
       actions(s, dir)
         .withColumn("xt_value", XThreat.rateColumn(model))
+        .select("game_id", "action_id", "seq", "xt_value")
+    },
+
+    // Interpolated rating with the genuinely CONVERGED surface — the oracle
+    // re-solves the surface via the freeze chain, lists it in cell order,
+    // and evaluates the same closed-form bilinear (term order mirrored
+    // exactly, so doubles are bit-identical).
+    Q("xt_rate_interp", {
+      val l = XThreat.DefaultL
+      val w = XThreat.DefaultW
+      val cw = graft.core.Spadl.FieldLength / l
+      val ch = graft.core.Spadl.FieldWidth / w
+      def interpSql(p: String): String = {
+        val fx = s"($p" + s"gx - $p" + "x0)"
+        val fy = s"($p" + s"gy - $p" + "y0)"
+        def at(rowExpr: String, colExpr: String) =
+          s"list_extract(grid, (${w - 1} - ($rowExpr)) * $l + ($colExpr) + 1)"
+        s"""${at(s"${p}y0", s"${p}x0")} * (1 - $fx) * (1 - $fy)
+           | + ${at(s"${p}y0", s"${p}x0 + 1")} * $fx * (1 - $fy)
+           | + ${at(s"${p}y0 + 1", s"${p}x0")} * (1 - $fx) * $fy
+           | + ${at(s"${p}y0 + 1", s"${p}x0 + 1")} * $fx * $fy""".stripMargin.replace("\n", "")
+      }
+      s"""$fitStatsCtes, $convergedChainCtes, gl AS MATERIALIZED (
+         |  SELECT list(v ORDER BY cell) AS grid FROM it$MaxSolveSteps
+         |), pts AS (
+         |  SELECT game_id, action_id, seq, type_id, result_id,
+         |    least(greatest(start_x / $cw - 0.5, 0.0), ${l - 1}.0) AS sgx,
+         |    least(greatest(start_y / $ch - 0.5, 0.0), ${w - 1}.0) AS sgy,
+         |    least(greatest(end_x / $cw - 0.5, 0.0), ${l - 1}.0) AS egx,
+         |    least(greatest(end_y / $ch - 0.5, 0.0), ${w - 1}.0) AS egy
+         |  FROM actions
+         |), idx AS (
+         |  SELECT *,
+         |    least(CAST(floor(sgx) AS INT), ${l - 2}) AS sx0,
+         |    least(CAST(floor(sgy) AS INT), ${w - 2}) AS sy0,
+         |    least(CAST(floor(egx) AS INT), ${l - 2}) AS ex0,
+         |    least(CAST(floor(egy) AS INT), ${w - 2}) AS ey0
+         |  FROM pts
+         |)
+         |SELECT game_id, action_id, seq,
+         |  CASE WHEN $moveSql AND result_id = 1
+         |       THEN (${interpSql("e")}) - (${interpSql("s")})
+         |  END AS xt_value
+         |FROM idx, gl""".stripMargin
+    }) { (s, dir) =>
+      val a = actions(s, dir)
+      val model = XThreat.fit(a)
+      a.withColumn("xt_value", XThreat.rateInterpColumn(model))
         .select("game_id", "action_id", "seq", "xt_value")
     })
 }

@@ -183,6 +183,41 @@ object XThreat {
     * interpolated values differ from socceraction's at any y-asymmetric
     * point — parity tests against upstream's interpolated ratings are not
     * expected to match (the non-interpolated path IS value-identical). */
+  /** Column form of [[interpolate]] — the same closed-form bilinear math as
+    * Column expressions over the surface literal, so `rate` with
+    * interpolation is a map-only codegen'd projection exactly like the
+    * cell-lookup path (reference `rate(use_interpolation=True)`,
+    * `xthreat.py:380-437`). Value-identical to the driver scalar
+    * (XThreatSpec asserts bit equality), and carries the same documented
+    * orientation deviation. */
+  def interpolateColumn(grid: Column, x: Column, y: Column,
+                        l: Int = DefaultL, w: Int = DefaultW): Column = {
+    val cw = Spadl.FieldLength / l
+    val ch = Spadl.FieldWidth / w
+    val gx = least(greatest(x / cw - 0.5, lit(0.0)), lit(l - 1.0))
+    val gy = least(greatest(y / ch - 0.5, lit(0.0)), lit(w - 1.0))
+    val x0 = least(floor(gx).cast("int"), lit(l - 2))
+    val y0 = least(floor(gy).cast("int"), lit(w - 2))
+    val fx = gx - x0
+    val fy = gy - y0
+    def v(yj: Column, xi: Column): Column =
+      element_at(grid, ((lit(w - 1) - yj) * l + xi + 1).cast("int"))
+    v(y0, x0) * (lit(1.0) - fx) * (lit(1.0) - fy) +
+      v(y0, x0 + 1) * fx * (lit(1.0) - fy) +
+      v(y0 + 1, x0) * (lit(1.0) - fx) * fy +
+      v(y0 + 1, x0 + 1) * fx * fy
+  }
+
+  /** M7 with interpolation: successful move actions get
+    * interp(end) − interp(start); everything else null. */
+  def rateInterpColumn(model: Model): Column = {
+    val grid = typedLit(model.xT.toSeq)
+    when(isMoveAction && col("result_id") === Spadl.ResultSuccess,
+      interpolateColumn(grid, col("end_x"), col("end_y"), model.l, model.w) -
+        interpolateColumn(grid, col("start_x"), col("start_y"), model.l, model.w))
+      .otherwise(lit(null).cast("double"))
+  }
+
   def interpolate(model: Model, x: Double, y: Double): Double = {
     val cw = Spadl.FieldLength / model.l
     val ch = Spadl.FieldWidth / model.w

@@ -133,4 +133,36 @@ class XThreatSpec extends SparkSpec {
       assert(math.abs(XThreat.interpolate(m, cx, cy) - expected) < 1e-12)
     }
   }
+
+  test("interpolateColumn is bit-identical to the driver scalar") {
+    import org.apache.spark.sql.functions._
+    val actions = df(
+      row(10, 10, 90, 34, 11, 1, 0),
+      row(20, 20, 80, 30, 0, 1, 1),
+      row(30, 40, 70, 20, 21, 1, 2),
+      row(80, 30, 95, 34, 11, 1, 3))
+    val m = XThreat.fit(actions)
+    // a grid of probe points including borders, corners, cell centers
+    val pts = for (x <- Seq(0.0, 0.1, 3.28125, 10.0, 52.5, 101.7, 105.0);
+                   y <- Seq(0.0, 2.833, 5.0, 34.0, 60.0, 68.0)) yield (x, y)
+    val grid = typedLit(m.xT.toSeq)
+    val got = pts.toDF("x", "y")
+      .select(XThreat.interpolateColumn(grid, col("x"), col("y"), m.l, m.w))
+      .collect().map(_.getDouble(0))
+    pts.zip(got).foreach { case ((x, y), g) =>
+      assert(java.lang.Double.doubleToLongBits(g) ==
+        java.lang.Double.doubleToLongBits(XThreat.interpolate(m, x, y)), s"($x,$y)")
+    }
+  }
+
+  test("convergence margin: synthetic fixtures converge far below the oracle chain") {
+    val actions = df(
+      row(10, 10, 90, 34, 11, 1, 0),
+      row(20, 20, 80, 30, 0, 1, 1),
+      row(30, 40, 70, 20, 21, 1, 2),
+      row(80, 30, 95, 34, 11, 1, 3))
+    val m = XThreat.fit(actions)
+    assert(m.iterations <= graft.queries.XtQueries.MaxSolveSteps / 2,
+      s"iterations ${m.iterations} eats the freeze-chain margin")
+  }
 }
