@@ -29,7 +29,14 @@ object SynActions {
 
   def fromEvents(events: DataFrame): DataFrame = fromEvents(events, NumGames)
 
-  def fromEvents(events: DataFrame, numGames: Long): DataFrame = {
+  def fromEvents(events: DataFrame, numGames: Long): DataFrame =
+    projectEvents(events, numGames)
+      .withColumn("action_id", row_number().over(Wg).cast("long") - 1)
+
+  /** The map-only part of the derivation (no dense `action_id`): every
+    * column is per-row arithmetic, so this projection is valid on a
+    * STREAMING DataFrame too (the windowed `action_id` is not). */
+  def projectEvents(events: DataFrame, numGames: Long = NumGames): DataFrame = {
     val base = events.select(
       (col("event_id") % numGames).as("game_id"),
       (lit(1) + col("user_id") % 2).cast("int").as("period_id"),
@@ -47,7 +54,7 @@ object SynActions {
       (col("event_id") * 5 % 6).cast("int").as("result_id"),
       (col("event_id") * 7 % 6).cast("int").as("bodypart_id"),
       col("event_id").as("seq"))
-    base.withColumn("action_id", row_number().over(Wg).cast("long") - 1)
+    base
   }
 
   /** Synthetic home team per game (stand-in for the games dimension that the

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.Q
 import graft.core.{SynActions, Tables, TokenCodec}
 import graft.core.SynActions.OracleCte
-import graft.streaming.SessionEngine
+import graft.streaming.{SessionEngine, WindowedStats}
+import graft.xt.XThreat
 
 /** The CEP engine surface (SURVEY.md §2.12, §3.1): the stateful per-game
   * scan executed in batch mode, the token-codec ingest surface, and the
@@ -18,6 +19,36 @@ object StreamingQueries {
 
   private def actions(s: SparkSession, dir: String): DataFrame =
     SynActions.fromEvents(Tables.events(s, dir))
+
+  /** Event-timed action projection on the compressed SPADL clock: the
+    * month-long synthetic timeline maps to ~43 minutes (time_seconds is
+    * micros/1e9), giving event-time windows game-like density. et =
+    * EpochBase + ⌊time_seconds·1e6⌋ micros — both engines compute the same
+    * two double ops then floor, so the micros agree exactly. */
+  private def timedActions(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      (col("event_id") % SynActions.NumGames).as("game_id"),
+      (col("user_id") % 4).as("team_id"),
+      col("user_id").as("player_id"),
+      (col("event_id") % 23).cast("int").as("type_id"),
+      (col("event_id") * 5 % 6).cast("int").as("result_id"),
+      col("event_id").as("seq"),
+      timestamp_micros(lit(SynActions.EpochBaseMicros) +
+        floor((unix_micros(col("ts").cast("timestamp")) - SynActions.EpochBaseMicros)
+          / lit(1000000000.0) * lit(1000000.0))).as("event_time"))
+
+  private val timedCte =
+    s"""WITH timed AS (
+       |  SELECT event_id % ${SynActions.NumGames} AS game_id,
+       |    user_id % 4 AS team_id,
+       |    user_id AS player_id,
+       |    CAST(event_id % 23 AS INT) AS type_id,
+       |    CAST(event_id * 5 % 6 AS INT) AS result_id,
+       |    event_id AS seq,
+       |    ${SynActions.EpochBaseMicros} + CAST(floor((epoch_us(ts) - ${SynActions.EpochBaseMicros})
+       |      / 1000000000.0 * 1000000.0) AS BIGINT) AS et_us
+       |  FROM events
+       |)""".stripMargin
 
   /** clearances → dribbles → dense ids → k=10 labels, over CTE `in`. */
   private def cepSql(in: String, suffix: String): String = {
@@ -106,6 +137,75 @@ object StreamingQueries {
          |  start_x, start_y, end_x, end_y, type_id, result_id, bodypart_id
          |FROM quant""".stripMargin) { (s, dir) =>
       TokenCodec.decode(TokenCodec.encode(actions(s, dir)))
+    },
+
+    // Tumbling event-time window aggregation — the WindowedStats operator
+    // run through its batch-equivalence path (WindowedStatsSpec runs the
+    // same code as a REAL watermark stream). The compressed SPADL clock
+    // (month → ~43 min) makes windows structurally interesting; window
+    // bounds compare as epoch-second BIGINTs to sidestep timestamp codecs.
+    Q("stream_windowed_team_stats",
+      s"""$timedCte
+         |SELECT (et_us // 60000000) * 60 AS window_start,
+         |  (et_us // 60000000) * 60 + 60 AS window_end,
+         |  team_id,
+         |  count(*) AS n_actions,
+         |  CAST(sum(CASE WHEN type_id IN (11, 12, 13) THEN 1 ELSE 0 END) AS BIGINT) AS n_shots,
+         |  CAST(sum(CASE WHEN type_id IN (11, 12, 13) AND result_id = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_goals
+         |FROM timed
+         |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      WindowedStats.tumblingTeamStats(timedActions(s, dir), windowLength = "1 minute")
+        .select(unix_seconds(col("window_start")).as("window_start"),
+          unix_seconds(col("window_end")).as("window_end"),
+          col("team_id"), col("n_actions"), col("n_shots"), col("n_goals"))
+    },
+
+    // Watermarked stream-stream interval join (assist candidates): shots ⋈
+    // same-game-same-team passes of the preceding 2 minutes. Batch-
+    // equivalence path of WindowedStats.assistCandidates; the oracle
+    // compares event-time micros as integers (Spark timestamps are micros).
+    Q("stream_assist_candidates",
+      s"""$timedCte
+         |SELECT s.game_id, s.team_id, s.seq AS shot_seq, p.seq AS pass_seq,
+         |  p.player_id AS passer_id, s.result_id AS shot_result
+         |FROM timed s JOIN timed p
+         |  ON s.game_id = p.game_id AND s.team_id = p.team_id
+         |  AND p.et_us >= s.et_us - 120000000 AND p.et_us < s.et_us
+         |WHERE s.type_id = 11 AND p.type_id IN (0, 1)""".stripMargin) { (s, dir) =>
+      WindowedStats.assistCandidates(timedActions(s, dir), maxGap = "120 seconds")
+    },
+
+    // The broadcast-model foreachBatch sink run as a REAL streaming query:
+    // file-source stream over the events parquet → map-only SPADL projection
+    // → per-batch xT rating with the model held in an AtomicReference →
+    // append-mode parquet sink, read back. The oracle re-derives the
+    // CONVERGED surface (freeze chain) and rates declaratively — proving the
+    // streaming sink path value-equal to the batch rating. (Mid-stream model
+    // refresh is deterministic only per batch; WindowedStatsSpec covers it.)
+    Q("stream_rated_sink",
+      s"""${XtQueries.fitStatsCtes}, ${XtQueries.convergedChainCtes}, gl AS MATERIALIZED (
+         |  SELECT list(v ORDER BY cell) AS grid FROM it${XtQueries.MaxSolveSteps}
+         |)
+         |SELECT seq,
+         |  CASE WHEN ${XtQueries.moveSql} AND result_id = 1
+         |       THEN list_extract(grid, ${XtQueries.endCellSql} + 1) - list_extract(grid, ${XtQueries.cellSql} + 1)
+         |  END AS xt_value
+         |FROM actions, gl""".stripMargin) { (s, dir) =>
+      val model = XThreat.fit(actions(s, dir))
+      val ref = new java.util.concurrent.atomic.AtomicReference(model)
+      val schema = Tables.events(s, dir).schema
+      // glob form: the file source needs a directory basePath (a bare file
+      // path fails with "basePath must be a directory")
+      val stream = s.readStream.schema(schema).parquet(s"$dir/events.parque[t]")
+      val acts = SynActions.projectEvents(stream)
+      val out = java.nio.file.Files.createTempDirectory("graft_rated_sink").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_rated_ckpt").toString
+      val q = WindowedStats.ratedSink(acts, ref,
+          b => b.select(col("seq"), col("xt_value")).write.mode("append").parquet(out))
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
     },
 
     // Flagship end-to-end: tokenized ingest surface → decode → stateful CEP

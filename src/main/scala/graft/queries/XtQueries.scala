@@ -23,13 +23,13 @@ object XtQueries {
     * eps and barely with SF). */
   val MaxSolveSteps = 32
 
-  private val cellSql = XThreat.flatCellIndexSql("start_x", "start_y")
-  private val endCellSql = XThreat.flatCellIndexSql("end_x", "end_y")
-  private val moveSql = "type_id IN (0, 1, 21)"
+  private[queries] val cellSql = XThreat.flatCellIndexSql("start_x", "start_y")
+  private[queries] val endCellSql = XThreat.flatCellIndexSql("end_x", "end_y")
+  private[queries] val moveSql = "type_id IN (0, 1, 21)"
 
   /** Shared fit-statistics CTE prefix: cell spine, goal·shot product gs,
     * move probability, sparse transition matrix, zero surface it0. */
-  private def fitStatsCtes: String = {
+  private[queries] def fitStatsCtes: String = {
     val n = XThreat.DefaultL * XThreat.DefaultW
     s"""$OracleCte, spine AS MATERIALIZED (
        |  SELECT range AS cell FROM range(0, $n)
@@ -65,7 +65,7 @@ object XtQueries {
     * computed with the driver's signed max-improvement test); after the
     * converging step every it$k copies values verbatim, so
     * it$MaxSolveSteps IS the converged surface. */
-  private def convergedChainCtes: String = {
+  private[queries] def convergedChainCtes: String = {
     val chain = (1 to MaxSolveSteps).map { k =>
       s"""${updateCte(s"u$k", s"it${k - 1}")}, d$k AS MATERIALIZED (
          |  SELECT ((SELECT f FROM d${k - 1}) OR

@@ -56,12 +56,12 @@ object WindowedStats {
         col("threat"), col("n_moves"))
 
   /** Watermarked stream-stream INTERVAL JOIN: each shot joined with the
-    * same-team passes of the preceding 15 seconds (assist candidates).
+    * same-team passes of the preceding `maxGap` (assist candidates).
     * Both sides carry watermarks and the join predicate bounds the event-
     * time gap, so Spark can size the join state: a pass is dropped from
-    * state once the shot-side watermark passes pass_time + 15 s. */
-  def assistCandidates(actions: DataFrame, watermarkDelay: String = "30 seconds")
-      : DataFrame = {
+    * state once the shot-side watermark passes pass_time + maxGap. */
+  def assistCandidates(actions: DataFrame, watermarkDelay: String = "30 seconds",
+                       maxGap: String = "15 seconds"): DataFrame = {
     val shots = actions
       .filter(col("type_id") === Spadl.TypeShot)
       .select(col("game_id").as("s_game_id"), col("team_id").as("s_team_id"),
@@ -77,7 +77,7 @@ object WindowedStats {
     shots.join(passes,
       col("s_game_id") === col("p_game_id") &&
         col("s_team_id") === col("p_team_id") &&
-        col("pass_time") >= col("shot_time") - expr("INTERVAL 15 SECONDS") &&
+        col("pass_time") >= col("shot_time") - expr(s"INTERVAL '$maxGap'") &&
         col("pass_time") < col("shot_time"))
       .select(col("s_game_id").as("game_id"), col("s_team_id").as("team_id"),
         col("shot_seq"), col("pass_seq"), col("passer_id"), col("shot_result"))

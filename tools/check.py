@@ -30,6 +30,11 @@ def main():
     names = sorted(d for d in os.listdir(outdir)
                    if os.path.isdir(os.path.join(outdir, d)))
     n_pass = n_fail = n_noora = 0
+    # a query that threw in Verify leaves an oracle entry but no output dir —
+    # surface it as a failure instead of silently skipping it
+    for missing in sorted(set(oracles) - set(names)):
+        n_fail += 1
+        print(f"FAIL [no-output] {missing}: query produced no parquet (threw in Verify?)")
     for name in names:
         spark_df = pd.read_parquet(os.path.join(outdir, name))
         if name not in oracles:
