@@ -223,6 +223,49 @@ final class OptaLoader(spark: SparkSession, root: String,
       .select(col("t.id").cast("long").as("team_id"),
         col("t.nameObj.name").as("team_name"))
 
+  /** Lineups with the substitution-minutes algebra from the F9 result feed
+    * (`f9_json.py:176-266`): per player, sub_on = their first non-Retired
+    * SubOn entry (else match_time for an unused Sub, 0 for a starter),
+    * sub_off = their first SubOff entry (else the red-card minute, else
+    * match_time); minutes = sub_off − sub_on. All per-row higher-order
+    * functions over the per-team Substitution/Booking arrays — map-only,
+    * every game one row-group, no shuffle. */
+  def f9Lineups(gameId: String): DataFrame = {
+    val d = f9Doc(gameId)
+    val exploded = d.select(
+        stripU(col("d.`@attributes`.uID")).as("game_id"),
+        statOf(col("d.MatchData.Stat"), "match_time").cast("long").as("match_time"),
+        explode(col("d.MatchData.TeamData")).as("td"))
+      .select(col("game_id"), col("match_time"),
+        stripU(col("td.`@attributes`.TeamRef")).as("team_id"),
+        col("td.Substitution").as("subs"),
+        col("td.Booking").as("bookings"),
+        explode(col("td.PlayerLineUp.MatchPlayer")).as("p"))
+    def sattr(s: Column, f: String): Column = s.getField("@attributes").getField(f)
+    val pref = col("p.`@attributes`.PlayerRef")
+    val status = col("p.`@attributes`.Status")
+    val subOn = coalesce(
+      get(filter(col("subs"),
+        s => sattr(s, "Retired").isNull && sattr(s, "SubOn") === pref), lit(0))
+        .getField("@attributes").getField("Time").cast("long"),
+      when(status === "Sub", col("match_time")).otherwise(0L))
+    val redTime = get(filter(col("bookings"),
+        b => sattr(b, "CardType").isin("Red", "SecondYellow") &&
+          sattr(b, "PlayerRef") === pref), lit(0))
+      .getField("@attributes").getField("Time").cast("long")
+    val subOff = coalesce(
+      get(filter(col("subs"), s => sattr(s, "SubOff") === pref), lit(0))
+        .getField("@attributes").getField("Time").cast("long"),
+      redTime, col("match_time"))
+    exploded.select(
+      col("game_id"), col("team_id"),
+      stripU(pref).as("player_id"),
+      col("p.`@attributes`.ShirtNumber").cast("long").as("jersey_number"),
+      col("p.`@attributes`.Position").as("starting_position"),
+      (status === "Start").as("is_starter"),
+      (subOff - subOn).as("minutes_played"))
+  }
+
   // ---- F7 XML feed (`parsers/f7_xml.py`) ------------------------------
   // Same result-feed content in XML; Spark-native XML source with rowTag
   // SoccerDocument; element text of attributed nodes lands in `_VALUE`.
@@ -260,23 +303,46 @@ final class OptaLoader(spark: SparkSession, root: String,
       .select(explode(col("Team")).as("t"))
       .select(stripU(col("t._uID")).as("team_id"), col("t.Name").as("team_name"))
 
-  /** Starting lineups from the F7 XML feed (`f7_xml.py:142-210`, the
-    * per-player identity/shirt/position subset; the substitution-minutes
-    * algebra is implemented on the StatsBomb and MA3 paths). */
-  def f7Lineups(gameId: String): DataFrame =
-    f7Doc(gameId)
+  /** Lineups with the substitution-minutes algebra from the F7 XML feed
+    * (`f7_xml.py:142-210`): identical sub_on/sub_off/red-card rules to the
+    * F9 path over the XML-attributed Substitution/Booking elements. */
+  def f7Lineups(gameId: String): DataFrame = {
+    def statOfX(stats: Column, name: String): Column =
+      element_at(filter(stats, st => st.getField("_Type") === name), 1)
+        .getField("_VALUE")
+    val exploded = f7Doc(gameId)
       .select(stripU(col("_uID")).as("game_id"),
+        statOfX(col("MatchData.Stat"), "match_time").cast("long").as("match_time"),
         explode(col("MatchData.TeamData")).as("td"))
-      .select(col("game_id"),
+      .select(col("game_id"), col("match_time"),
         stripU(col("td._TeamRef")).as("team_id"),
         col("td._Formation").cast("string").as("formation"),
         col("td._Side").as("side"),
+        col("td.Substitution").as("subs"),
+        col("td.Booking").as("bookings"),
         explode(col("td.PlayerLineUp.MatchPlayer")).as("p"))
-      .select(col("game_id"), col("team_id"), col("formation"), col("side"),
-        stripU(col("p._PlayerRef")).as("player_id"),
-        col("p._Position").as("position"),
-        col("p._ShirtNumber").cast("long").as("jersey_number"),
-        (col("p._Status") === "Start").as("is_starter"))
+    val pref = col("p._PlayerRef")
+    val status = col("p._Status")
+    val subOn = coalesce(
+      get(filter(col("subs"),
+        s => s.getField("_Retired").isNull && s.getField("_SubOn") === pref), lit(0))
+        .getField("_Time").cast("long"),
+      when(status === "Sub", col("match_time")).otherwise(0L))
+    val redTime = get(filter(col("bookings"),
+        b => b.getField("_CardType").isin("Red", "SecondYellow") &&
+          b.getField("_PlayerRef") === pref), lit(0))
+      .getField("_Time").cast("long")
+    val subOff = coalesce(
+      get(filter(col("subs"), s => s.getField("_SubOff") === pref), lit(0))
+        .getField("_Time").cast("long"),
+      redTime, col("match_time"))
+    exploded.select(col("game_id"), col("team_id"), col("formation"), col("side"),
+      stripU(pref).as("player_id"),
+      col("p._Position").as("position"),
+      col("p._ShirtNumber").cast("long").as("jersey_number"),
+      (status === "Start").as("is_starter"),
+      (subOff - subOn).as("minutes_played"))
+  }
 
   // ---- WhoScored matchCentreData feed (`parsers/whoscored.py`) --------
   // One JSON object per game (ids live in the file name); event types and
@@ -378,6 +444,189 @@ final class OptaLoader(spark: SparkSession, root: String,
         .as("period_milliseconds"),
       col("e.playerId").cast("long").as("player_in_id"),
       col("e.relatedPlayerId").cast("long").as("player_out_id"))
+  }
+
+  /** Per-player aggregated game stats with the expanded-minutes algebra
+    * (`whoscored.py:355-421`): minute_end = red-card minute if any, else
+    * subbedOutExpandedMinute; the four starter/sub cases yield
+    * minute_start/minute_end/minutes_played against expandedMaxMinute.
+    * The dynamic per-stat dicts are emitted long-form by [[wsPlayerStats]]
+    * (a tidy reshape of the reference's per-row stat columns). */
+  def wsPlayerGameStats(gameId: String): DataFrame = {
+    def side(s: String): DataFrame = ws(gameId).select(
+      lit(gameId.toLong).as("game_id"),
+      col("expandedMaxMinute").cast("long").as("max_minute"),
+      col(s"$s.teamId").cast("long").as("team_id"),
+      from_json(to_json(col(s"$s.incidentEvents")), wsIncidentsType).as("incidents"),
+      explode(from_json(to_json(col(s"$s.players")), wsPlayersType)).as("p"))
+    val exploded = side("home").unionByName(side("away"))
+    val pid = col("p.playerId").cast("long")
+    val red = get(filter(col("incidents"),
+        e => e.getField("cardType").getField("displayName").isin("Red", "SecondYellow") &&
+          e.getField("playerId").cast("long") === pid), lit(0))
+      .getField("expandedMinute").cast("long")
+    val isStarter = coalesce(col("p.isFirstEleven"), lit(false))
+    val subbedIn = col("p.subbedInExpandedMinute").cast("long")
+    val subbedOut = coalesce(red, col("p.subbedOutExpandedMinute").cast("long"))
+    // the reference's four cases, in order (`whoscored.py:396-414`)
+    val minuteStart = when(isStarter, 0L).otherwise(subbedIn)
+    val minuteEnd = when(isStarter && subbedOut.isNull, col("max_minute"))
+      .when(isStarter, subbedOut)
+      .when(subbedIn.isNotNull && subbedOut.isNull, col("max_minute"))
+      .otherwise(subbedOut)
+    val minutes = when(isStarter && subbedOut.isNull, col("max_minute"))
+      .when(isStarter, subbedOut)
+      .when(subbedIn.isNotNull && subbedOut.isNull, col("max_minute") - subbedIn)
+      .when(subbedIn.isNotNull, subbedOut - subbedIn)
+      .otherwise(0L)
+    exploded.select(
+      col("game_id"), col("team_id"), pid.as("player_id"),
+      isStarter.as("is_starter"),
+      col("p.position").as("position_code"),
+      coalesce(col("p.shirtNo").cast("long"), lit(0L)).as("jersey_number"),
+      coalesce(col("p.isManOfTheMatch"), lit(false)).as("mvp"),
+      minuteStart.as("minute_start"),
+      minuteEnd.as("minute_end"),
+      minutes.as("minutes_played"))
+  }
+
+  private def camelToSnake(c: Column): Column =
+    lower(regexp_replace(regexp_replace(c,
+      "(.)([A-Z][a-z]+)", "$1_$2"), "([a-z0-9])([A-Z])", "$1_$2"))
+
+  /** Explicit schemas for the side-asymmetric WhoScored JSON (a side whose
+    * players never carry e.g. subbedInExpandedMinute would otherwise infer
+    * a struct without the field and break the shared projection). */
+  private val wsPlayersType: org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    ArrayType(StructType(Seq(
+      StructField("playerId", LongType),
+      StructField("isFirstEleven", BooleanType),
+      StructField("position", StringType),
+      StructField("shirtNo", LongType),
+      StructField("isManOfTheMatch", BooleanType),
+      StructField("subbedInExpandedMinute", LongType),
+      StructField("subbedOutExpandedMinute", LongType),
+      StructField("stats", MapType(StringType, MapType(StringType, DoubleType))))))
+  }
+
+  private val wsIncidentsType: org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    ArrayType(StructType(Seq(
+      StructField("playerId", LongType),
+      StructField("expandedMinute", LongType),
+      StructField("cardType", StructType(Seq(
+        StructField("value", LongType),
+        StructField("displayName", StringType)))))))
+  }
+
+  private val statMapType = org.apache.spark.sql.types.MapType(
+    org.apache.spark.sql.types.StringType,
+    org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.DoubleType))
+
+  /** Per-player stats, long-form (`whoscored.py:363-367`): each dynamic
+    * stat dict summed over its minute-keyed values; `*success` stats are
+    * dropped (the reference's lowercase endswith filter). */
+  def wsPlayerStats(gameId: String): DataFrame = {
+    def side(s: String): DataFrame = ws(gameId).select(
+      lit(gameId.toLong).as("game_id"),
+      col(s"$s.teamId").cast("long").as("team_id"),
+      explode(from_json(to_json(col(s"$s.players")), wsPlayersType)).as("p"))
+      .select(col("game_id"), col("team_id"),
+        col("p.playerId").cast("long").as("player_id"),
+        explode(col("p.stats")).as(Seq("stat", "vals")))
+    side("home").unionByName(side("away"))
+      .select(col("game_id"), col("team_id"), col("player_id"),
+        camelToSnake(col("stat")).as("stat"),
+        aggregate(map_values(col("vals")), lit(0.0), _ + _).as("value"))
+      .filter(!col("stat").endsWith("success"))
+  }
+
+  /** Per-team aggregated game stats (`whoscored.py:325-353`): side, final
+    * score, optional shootout score. Dynamic stat dicts via
+    * [[wsTeamStats]] — which keeps `*success` entries, mirroring the
+    * reference quirk (its filter tests capital-S "Success" on
+    * already-lowercased snake names, so nothing is ever excluded). */
+  def wsTeamGameStats(gameId: String): DataFrame = {
+    // scores normalized through an explicit schema: "penalty" is optional
+    // in the feed and would otherwise be absent from the inferred struct
+    val scoresType = {
+      import org.apache.spark.sql.types._
+      StructType(Seq(StructField("halftime", LongType),
+        StructField("fulltime", LongType), StructField("running", LongType),
+        StructField("penalty", LongType)))
+    }
+    def side(s: String): DataFrame = ws(gameId).select(
+      lit(gameId.toLong).as("game_id"),
+      col(s"$s.teamId").cast("long").as("team_id"),
+      col(s"$s.field").as("side"),
+      from_json(to_json(col(s"$s.scores")), scoresType).as("scores"))
+      .select(col("game_id"), col("team_id"), col("side"),
+        col("scores.fulltime").as("score"),
+        col("scores.penalty").as("shootout_score"))
+    side("home").unionByName(side("away"))
+  }
+
+  /** Per-team stats, long-form; sums each dict-valued stat. */
+  def wsTeamStats(gameId: String): DataFrame = {
+    def side(s: String): DataFrame = ws(gameId).select(
+      lit(gameId.toLong).as("game_id"),
+      col(s"$s.teamId").cast("long").as("team_id"),
+      explode(from_json(to_json(col(s"$s.stats")), statMapType)).as(Seq("stat", "vals")))
+    side("home").unionByName(side("away"))
+      .select(col("game_id"), col("team_id"),
+        camelToSnake(col("stat")).as("stat"),
+        aggregate(map_values(col("vals")), lit(0.0), _ + _).as("value"))
+  }
+
+  /** Player formation positions over time (`whoscored.py:275-322`): one row
+    * per (formation stint, player); period id = first period whose
+    * periodEndMinutes exceeds the stint start, period-relative minute via
+    * periodMinuteLimits; position code from the reference's
+    * `_position_mapping` (GK at (0, 5), Unknown otherwise). */
+  def wsPositions(gameId: String): DataFrame = {
+    val longMap = org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType)
+    def sideDf(s: String): DataFrame = ws(gameId).select(
+      lit(gameId.toLong).as("game_id"),
+      from_json(to_json(col("periodEndMinutes")), longMap).as("pem"),
+      from_json(to_json(col("periodMinuteLimits")), longMap).as("lims"),
+      col(s"$s.teamId").cast("long").as("team_id"),
+      explode(col(s"$s.formations")).as("f"))
+    val exploded = sideDf("home").unionByName(sideDf("away"))
+      .select(col("game_id"), col("pem"), col("lims"), col("team_id"),
+        col("f.formationName").as("formation_scheme"),
+        col("f.startMinuteExpanded").cast("long").as("start_minute"),
+        col("f.endMinuteExpanded").cast("long").as("end_minute"),
+        explode(arrays_zip(col("f.playerIds"), col("f.formationPositions")))
+          .as("z"))
+    // first period (sorted ids) whose end minute exceeds the stint start;
+    // the reference falls through to the LAST period when none does
+    val matching = transform(
+      map_keys(map_filter(col("pem"), (_, v) => v > col("start_minute"))),
+      k => k.cast("int"))
+    val periodId = coalesce(array_min(matching),
+      array_max(transform(map_keys(col("pem")), k => k.cast("int"))))
+    val periodMinute = when(periodId > 1,
+      col("start_minute") -
+        coalesce(element_at(col("lims"), (periodId - 1).cast("string")), lit(0L)))
+      .otherwise(col("start_minute"))
+    val x = col("z").getField("formationPositions").getField("vertical").cast("double")
+    val y = col("z").getField("formationPositions").getField("horizontal").cast("double")
+    exploded.select(
+      col("game_id"), col("team_id"),
+      col("z").getField("playerIds").cast("long").as("player_id"),
+      periodId.as("period_id"),
+      (periodMinute * 60 * 1000).as("period_milliseconds"),
+      (col("start_minute") * 60 * 1000).as("start_milliseconds"),
+      (col("end_minute") * 60 * 1000).as("end_milliseconds"),
+      col("formation_scheme"),
+      when(x === 0.0 && y === 5.0, "GK").otherwise("Unknown").as("player_position"),
+      x.as("player_position_x"),
+      y.as("player_position_y"),
+      col("start_minute"))
   }
 
   // ---- F24 XML feed (`parsers/f24_xml.py`) ----------------------------

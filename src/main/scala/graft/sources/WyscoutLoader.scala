@@ -16,6 +16,133 @@ import org.apache.spark.sql.types._
   * array<struct<x,y>>, milliseconds from eventSec, period ids from the
   * 1H/2H/E1/E2/P vocabulary, and a deterministic per-game `seq`.
   */
+/** Shared Wyscout substitution-minutes algebra
+  * (`socceraction/data/wyscout/loader.py:782-848` and `_expand_minute`,
+  * `data/base.py:100-122`): per-period durations come from the event
+  * stream's max clock, red-card / substitution minutes are expanded with
+  * the accumulated injury time of earlier periods, and minutes_played
+  * follows the reference's lineup/sub-in/sub-out rules.
+  *
+  * Spark-first shape: durations are ONE aggregation over the events
+  * (map-side partial max per (game, period)), broadcast back onto the
+  * per-team roster rows; everything else is per-row higher-order-function
+  * math over the roster/substitution arrays — no shuffle beyond the one
+  * aggregate, valid for all games of a league file at once. */
+object WyscoutMinutes {
+
+  private val rosterEntry = StructType(Seq(
+    StructField("playerId", LongType),
+    StructField("shirtNumber", LongType),
+    StructField("redCards", StringType)))
+
+  /** teamsData map schema incl. rosters and substitutions (dynamic team-id
+    * keys ⇒ explicit map schema over from_json(to_json(...))). */
+  val teamsDataType: MapType = MapType(StringType, StructType(Seq(
+    StructField("side", StringType),
+    StructField("teamId", LongType),
+    StructField("score", LongType),
+    StructField("formation", StructType(Seq(
+      StructField("lineup", ArrayType(rosterEntry)),
+      StructField("bench", ArrayType(rosterEntry)),
+      StructField("substitutions", ArrayType(StructType(Seq(
+        StructField("playerIn", LongType),
+        StructField("playerOut", LongType),
+        StructField("minute", LongType)))))))))))
+
+  /** Per-game ordered period durations (minutes): round-half-even of each
+    * period's max clock, periods 1–4 with any events (`loader.py:785-794`). */
+  def periodDurations(events: DataFrame): DataFrame =
+    events
+      .filter(col("period_id").between(1, 4))
+      .groupBy("game_id", "period_id")
+      .agg(max(col("milliseconds")).as("mx"))
+      .filter(col("mx") =!= 0)
+      .groupBy("game_id")
+      .agg(sort_array(collect_list(struct(col("period_id"),
+        bround(col("mx") / 60000.0, 0).cast("long").as("dur")))).as("pd"))
+      .select(col("game_id"),
+        transform(col("pd"), p => p.getField("dur")).as("durations"))
+
+  /** `_expand_minute`: add injury time of every EARLIER period the minute
+    * has passed. The reference's break-at-first-false loop equals a filter
+    * because the regular-period cumsums are increasing. Null minutes stay
+    * null (the additions are exact no-ops on null). */
+  def expandMinute(minute: Column, durations: Column): Column = {
+    val regular = Seq(45L, 45L, 15L, 15L)
+    val cums = regular.scanLeft(0L)(_ + _).drop(1) // 45, 90, 105, 120
+    (0 to 3).map { p =>
+      when(size(durations) - 1 > p && minute > cums(p),
+        element_at(durations, p + 1) - regular(p)).otherwise(0L)
+    }.foldLeft(minute)(_ + _)
+  }
+
+  /** Player minutes from (game_id, teamsData) rows + converted events.
+    * Per reference rules: lineup players play the full duration unless
+    * red-carded or subbed out; sub-ins play duration − expanded sub minute
+    * (red-card clipped); a subbed-OUT player's minutes are the expanded
+    * out-minute (the reference assigns this unconditionally — preserved,
+    * including for the sub-in-then-out case). Unused bench players are not
+    * emitted (the reference's pg dict never holds them; callers left-join
+    * and fill 0). Grain deviation: keyed (team_id, player_id) — the
+    * reference's playerId-keyed dict silently lets a later team override an
+    * earlier one's entry for the same id. */
+  def playerGames(matches: DataFrame, events: DataFrame): DataFrame = {
+    val durs = periodDurations(events)
+    val teams = matches
+      .select(col("game_id"), explode(col("teamsData")).as(Seq("tid", "td")))
+      .join(broadcast(durs), "game_id")
+      .select(col("game_id"),
+        col("td.teamId").as("team_id"),
+        col("td.formation.lineup").as("lineup"),
+        col("td.formation.bench").as("bench"),
+        col("td.formation.substitutions").as("subs"),
+        col("durations"))
+      .withColumn("duration", aggregate(col("durations"), lit(0L), _ + _))
+
+    val emptyRoster = array().cast(ArrayType(rosterEntry))
+    def redOf(pid: Column): Column = {
+      val all = concat(coalesce(col("lineup"), emptyRoster),
+        coalesce(col("bench"), emptyRoster))
+      val hit = get(filter(all, p => p.getField("playerId") === pid &&
+        p.getField("redCards").isNotNull && p.getField("redCards") =!= "0"), lit(0))
+      expandMinute(hit.getField("redCards").cast("long"), col("durations"))
+    }
+    def subOutExp(pid: Column): Column =
+      expandMinute(
+        get(filter(col("subs"), s => s.getField("playerOut") === pid), lit(0))
+          .getField("minute"), col("durations"))
+
+    val lineupRows = teams
+      .select(col("game_id"), col("team_id"), col("duration"), col("durations"),
+        col("lineup"), col("bench"), col("subs"), explode(col("lineup")).as("p"))
+      .select(col("game_id"), col("team_id"),
+        col("p.playerId").as("player_id"),
+        coalesce(col("p.shirtNumber"), lit(0L)).as("jersey_number"),
+        lit(true).as("is_starter"),
+        coalesce(subOutExp(col("p.playerId")), redOf(col("p.playerId")),
+          col("duration")).as("minutes_played"))
+
+    val subInRows = teams
+      .select(col("game_id"), col("team_id"), col("duration"), col("durations"),
+        col("lineup"), col("bench"), col("subs"), explode(col("subs")).as("s"))
+      .select(col("game_id"), col("team_id"), col("durations"), col("duration"),
+        col("lineup"), col("bench"), col("subs"),
+        col("s.playerIn").as("player_id"),
+        expandMinute(col("s.minute"), col("durations")).as("exp_in"))
+      .select(col("game_id"), col("team_id"), col("player_id"),
+        coalesce(
+          get(filter(col("bench"),
+            p => p.getField("playerId") === col("player_id")), lit(0))
+            .getField("shirtNumber"), lit(0L)).as("jersey_number"),
+        lit(false).as("is_starter"),
+        coalesce(subOutExp(col("player_id")),
+          redOf(col("player_id")) - col("exp_in"),
+          col("duration") - col("exp_in")).as("minutes_played"))
+
+    lineupRows.unionByName(subInRows)
+  }
+}
+
 final class WyscoutLoader(spark: SparkSession, root: String) {
 
   private def readJson(rel: String): DataFrame =
@@ -134,6 +261,16 @@ final class WyscoutLoader(spark: SparkSession, root: String) {
           array().cast("array<struct<x:double,y:double>>")).as("positions"))
       .withColumn("seq", row_number().over(w).cast("long"))
   }
+
+  /** Player minutes from the API payload's match.teamsData + events
+    * (`loader.py:620-630` → `_get_minutes_played`). */
+  def playerGames(gameId: Long): DataFrame = {
+    val m = eventsPayload(gameId).select(
+      lit(gameId).as("game_id"),
+      from_json(to_json(col("match.teamsData")), WyscoutMinutes.teamsDataType)
+        .as("teamsData"))
+    WyscoutMinutes.playerGames(m, events(gameId))
+  }
 }
 
 object WyscoutLoader {
@@ -151,9 +288,9 @@ object WyscoutLoader {
   *
   * The per-league events file holds every game of the season; `events`
   * filters on matchId (at scale the league files are columnarized once and
-  * partition-pruned by game bucket — see StorageLayoutSpec). The
-  * substitution-minutes algebra is implemented on the StatsBomb/MA3 paths;
-  * `players` here returns the lineup+bench identity rows with sides. */
+  * partition-pruned by game bucket — see StorageLayoutSpec). `players`
+  * returns lineup+bench identity rows with sides; `playerGames` adds the
+  * full substitution-minutes algebra via [[WyscoutMinutes]]. */
 final class PublicWyscoutLoader(spark: SparkSession, root: String) {
 
   /** (competition_id, season_id, season_name, matches file, events file) —
@@ -191,19 +328,10 @@ final class PublicWyscoutLoader(spark: SparkSession, root: String) {
       .join(idx, Seq("competition_id"), "left")
   }
 
-  private val teamsDataType = MapType(StringType, StructType(Seq(
-    StructField("side", StringType),
-    StructField("teamId", LongType),
-    StructField("score", LongType),
-    StructField("formation", StructType(Seq(
-      StructField("lineup", ArrayType(StructType(Seq(
-        StructField("playerId", LongType))))),
-      StructField("bench", ArrayType(StructType(Seq(
-        StructField("playerId", LongType)))))))))))
-
   private def matchesOf(competitionId: Long): DataFrame =
     readJson(filesFor(competitionId)._1)
-      .withColumn("teamsData", from_json(to_json(col("teamsData")), teamsDataType))
+      .withColumn("teamsData",
+        from_json(to_json(col("teamsData")), WyscoutMinutes.teamsDataType))
 
   /** Games of a season (`loader.py:205-223` + `_convert_games`). */
   def games(competitionId: Long, seasonId: Long): DataFrame = {
@@ -245,7 +373,9 @@ final class PublicWyscoutLoader(spark: SparkSession, root: String) {
     def roster(field: String, starter: Boolean): DataFrame = base
       .select(col("td.teamId").as("team_id"), col("td.side").as("side"),
         explode(coalesce(col(s"td.formation.$field"),
-          array().cast("array<struct<playerId:bigint>>"))).as("p"))
+          array().cast(
+            "array<struct<playerId:bigint,shirtNumber:bigint,redCards:string>>")))
+          .as("p"))
       .select(col("team_id"), col("side"), col("p.playerId").as("player_id"),
         lit(starter).as("is_starter"))
     val identities = readJson("players.json").select(
@@ -257,6 +387,14 @@ final class PublicWyscoutLoader(spark: SparkSession, root: String) {
       .join(identities, Seq("player_id"), "left")
       .withColumn("game_id", lit(gameId))
   }
+
+  /** Player minutes of a game: teamsData rosters/substitutions + the
+    * per-league event clocks (`loader.py:304-319` → `_get_minutes_played`). */
+  def playerGames(competitionId: Long, gameId: Long): DataFrame =
+    WyscoutMinutes.playerGames(
+      matchesOf(competitionId).filter(col("wyId") === gameId)
+        .select(col("wyId").as("game_id"), col("teamsData")),
+      events(competitionId, gameId))
 
   /** Event rows of a game from the per-league file (`loader.py:321-345` +
     * `_convert_events`) — same output contract as WyscoutLoader.events. */

@@ -119,6 +119,79 @@ class FeedLoaderSpec extends SparkSpec {
     assert(p103.getAs[String]("formation") == "442")
   }
 
+  test("opta: F9 lineup minutes (subs, red cards, retired-entry skip, bare away side)") {
+    val l = opta.f9Lineups("918").collect()
+      .map(r => r.getAs[Long]("player_id") -> r).toMap
+    assert(l(101L).getAs[Long]("minutes_played") == 85) // red card 85'
+    assert(l(102L).getAs[Long]("minutes_played") == 70) // subbed off 70'
+    assert(l(103L).getAs[Long]("minutes_played") == 24) // on 70' (Retired entry skipped), match_time 94
+    assert(l(201L).getAs[Long]("minutes_played") == 94) // away side has no sub/booking arrays
+    assert(l(202L).getAs[Long]("minutes_played") == 94)
+    assert(l(101L).getAs[Boolean]("is_starter") && !l(103L).getAs[Boolean]("is_starter"))
+    assert(l(101L).getAs[String]("starting_position") == "Goalkeeper")
+    assert(l(103L).getAs[Long]("jersey_number") == 14L)
+  }
+
+  test("opta: F7 lineup minutes match the F9 algebra over XML attributes") {
+    val l = opta.f7Lineups("918").collect()
+      .map(r => r.getAs[Long]("player_id") -> r).toMap
+    assert(l(101L).getAs[Long]("minutes_played") == 85)
+    assert(l(102L).getAs[Long]("minutes_played") == 70)
+    assert(l(103L).getAs[Long]("minutes_played") == 24)
+    assert(l(201L).getAs[Long]("minutes_played") == 94)
+  }
+
+  test("opta: WhoScored player game stats (expanded-minutes algebra)") {
+    val p = opta.wsPlayerGameStats("555").collect()
+      .map(r => r.getAs[Long]("player_id") -> r).toMap
+    assert(p(9001L).getAs[Long]("minutes_played") == 95) // full game
+    assert(p(9001L).getAs[Boolean]("mvp"))
+    assert(p(9002L).getAs[Long]("minutes_played") == 60) // starter out 60'
+    assert(p(9003L).getAs[Long]("minutes_played") == 35) // in 60' → 95 − 60
+    assert(p(9003L).getAs[Long]("minute_start") == 60L)
+    assert(p(9004L).getAs[Long]("minutes_played") == 80) // red card 80'
+    assert(p(9101L).getAs[Long]("minutes_played") == 95)
+    assert(p(9102L).getAs[Long]("minutes_played") == 0) // unused sub
+    assert(p(9102L).isNullAt(p(9102L).fieldIndex("minute_start")))
+  }
+
+  test("opta: WhoScored long-form stats (player drops *success, team keeps it)") {
+    val ps = opta.wsPlayerStats("555").collect()
+      .map(r => (r.getAs[Long]("player_id"), r.getAs[String]("stat")) ->
+        r.getAs[Double]("value")).toMap
+    assert(ps((9001L, "total_pass")) == 5.0)
+    assert(ps((9001L, "ratings")) == 6.8)
+    assert(!ps.contains((9001L, "pass_success"))) // *success dropped for players
+    assert(ps((9101L, "total_saves")) == 2.0)
+    val ts = opta.wsTeamStats("555").collect()
+      .map(r => (r.getAs[Long]("team_id"), r.getAs[String]("stat")) ->
+        r.getAs[Double]("value")).toMap
+    assert(ts((272L, "total_pass")) == 8.0)
+    assert(ts((272L, "pass_success")) == 4.0) // reference quirk: team stats keep *Success
+    val tg = opta.wsTeamGameStats("555").collect()
+      .map(r => r.getAs[Long]("team_id") -> r).toMap
+    assert(tg(272L).getAs[String]("side") == "home")
+    assert(tg(272L).getAs[Long]("score") == 2L)
+    assert(tg(273L).getAs[String]("side") == "away")
+  }
+
+  test("opta: WhoScored formation positions (periods, relative clocks, GK mapping)") {
+    val pos = opta.wsPositions("555").collect()
+      .map(r => (r.getAs[Long]("player_id"), r.getAs[Long]("start_minute")) -> r).toMap
+    val first = pos((9001L, 0L))
+    assert(first.getAs[Int]("period_id") == 1)
+    assert(first.getAs[Long]("period_milliseconds") == 0L)
+    assert(first.getAs[String]("player_position") == "GK") // (0, 5) → GK
+    assert(pos((9002L, 0L)).getAs[String]("player_position") == "Unknown")
+    val second = pos((9001L, 60L))
+    assert(second.getAs[Int]("period_id") == 2) // first period ending after 60'
+    assert(second.getAs[Long]("period_milliseconds") == 15 * 60 * 1000L) // 60 − limit(1)=45
+    assert(second.getAs[Long]("start_milliseconds") == 3600000L)
+    assert(second.getAs[Long]("end_milliseconds") == 95 * 60000L)
+    assert(second.getAs[String]("formation_scheme") == "433")
+    assert(pos((9101L, 0L)).getAs[String]("player_position") == "GK")
+  }
+
   test("opta: WhoScored matchCentreData feed") {
     val g = opta.wsGames("555", competitionId = 1L, seasonId = 1L).head()
     assert(g.getAs[Long]("game_id") == 555L)
@@ -204,14 +277,28 @@ class FeedLoaderSpec extends SparkSpec {
     assert(p11.getAs[Long]("team_id") == 3001L)
 
     val ev = wy.events(500).orderBy("seq").collect()
-    assert(ev.length == 4)
+    assert(ev.length == 6)
     assert(ev(0).getAs[Long]("milliseconds") == 2500L)
     assert(ev(0).getAs[Int]("type_id") == 8)
     assert(ev(1).getAs[Int]("period_id") == 1)
-    assert(ev(2).getAs[Int]("period_id") == 2)
-    assert(ev(3).getAs[Int]("subtype_id") == 0) // "" coerced to 0
+    assert(ev(2).getAs[Int]("period_id") == 1) // the late 1H clock driver
+    assert(ev(3).getAs[Int]("period_id") == 2)
+    assert(ev(4).getAs[Int]("subtype_id") == 0) // "" coerced to 0
     val tags = ev(1).getSeq[Int](ev(1).fieldIndex("tags"))
     assert(tags.contains(101) && tags.contains(1203))
+  }
+
+  test("wyscout: player minutes from the API payload's match.teamsData") {
+    val p = wy.playerGames(500).collect()
+      .map(r => (r.getAs[Long]("team_id"), r.getAs[Long]("player_id")) -> r).toMap
+    // period clocks → durations [46, 47], duration 93; expand(60) = 61
+    assert(p((3001L, 11L)).getAs[Long]("minutes_played") == 93) // full game
+    assert(p((3001L, 12L)).getAs[Long]("minutes_played") == 61) // out at 60' (+1 1H injury)
+    assert(p((3001L, 13L)).getAs[Long]("minutes_played") == 32) // in: 93 − 61
+    assert(!p((3001L, 13L)).getAs[Boolean]("is_starter"))
+    assert(p((3001L, 13L)).getAs[Long]("jersey_number") == 14L) // bench lookup
+    assert(p((3002L, 21L)).getAs[Long]("minutes_played") == 76) // red 75' expanded
+    assert(p.size == 4) // unused bench players are not emitted
   }
 
   test("public wyscout dataset: index-driven league files, lineup rosters, per-game event filter") {
@@ -234,12 +321,20 @@ class FeedLoaderSpec extends SparkSpec {
     assert(!bench.getAs[Boolean]("is_starter"))
     assert(bench.getAs[String]("player_name") == "Cam Tres")
     val ev = pub.events(364L, 2499719L).orderBy("seq").collect()
-    assert(ev.length == 2) // the other game's event is filtered out
-    assert(ev(0).getAs[Int]("type_id") == 8 && ev(1).getAs[Int]("period_id") == 2)
+    assert(ev.length == 4) // the other game's event is filtered out
+    assert(ev(0).getAs[Int]("type_id") == 8 && ev(2).getAs[Int]("period_id") == 2)
     // the public events plug straight into the full converter
     val out = graft.sources.Wyscout.convertToActions(
       pub.events(364L, 2499719L), lit(1609L)).collect()
     assert(out.exists(_.getAs[Int]("type_id") == 11)) // the shot survives
+
+    // minutes: durations [46, 47] → duration 93, expand(60) = 61
+    val pg = pub.playerGames(364L, 2499719L).collect()
+      .map(r => (r.getAs[Long]("team_id"), r.getAs[Long]("player_id")) -> r).toMap
+    assert(pg((1609L, 25413L)).getAs[Long]("minutes_played") == 93)
+    assert(pg((1609L, 25414L)).getAs[Long]("minutes_played") == 61)
+    assert(pg((1609L, 25415L)).getAs[Long]("minutes_played") == 32)
+    assert(pg((1610L, 25415L)).getAs[Long]("minutes_played") == 93)
   }
 
   test("wyscout: loader events feed the full converter (goal mosaic applied)") {
