@@ -97,19 +97,38 @@ object Bench {
       valuationPipeline(spark, warmDir)
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Interleaved min-of-N timing: the sandbox host is time-shared, and a
+    // single pass can be skewed 10–30× by co-tenant bursts (the round-2
+    // driver record was). Each ROUND runs every query once, per-query time
+    // is the minimum across rounds — interleaving decorrelates bursts from
+    // any one query, and the min approximates the uncontended time.
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map[String, Double]()
+    val failedSet = scala.collection.mutable.Set[String]()
+    for (_ <- 1 to rounds; (name, fn) <- names) {
       val t0 = System.nanoTime()
       // noop sink: forces full column evaluation (count() would be pruned);
       // a query that throws reports -1 so a regression never reads as a speedup
-      val ok =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-        catch { case e: Throwable => System.err.println(s"BENCH FAIL $name: $e"); false }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+      } catch { case e: Throwable =>
+        System.err.println(s"BENCH FAIL $name: $e"); failedSet += name
+      }
     }
-    val (rows, pipeSec) = valuationPipeline(spark, sfDir)
+    val results = names.map { case (name, _) =>
+      (name, if (failedSet(name) || !best.contains(name)) -1.0 else best(name))
+    }
+    val valuations = (1 to rounds).map(_ => valuationPipeline(spark, sfDir))
+    val rows = valuations.head._1
+    val pipeSec = valuations.map(_._2).min
     val throughput = rows / pipeSec
-    val (prows, ppipeSec) = valuationPipelinePacked(spark,
-      SynActions.fromEvents(Tables.events(spark, sfDir)))
+    val packedRuns = (1 to rounds).map(_ => valuationPipelinePacked(spark,
+      SynActions.fromEvents(Tables.events(spark, sfDir))))
+    val prows = packedRuns.head._1
+    val ppipeSec = packedRuns.map(_._2).min
     val pthroughput = prows / ppipeSec
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -117,7 +136,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","cores":$cpus,"valuation_rows":$rows,"valuation_sec":$pipeSec,"valuation_rows_per_sec":$throughput,"valuation_packed_sec":$ppipeSec,"valuation_packed_rows_per_sec":$pthroughput}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","rounds":$rounds,"queries":$qs,"failed":$failed,"sf":"$sfDir","cores":$cpus,"valuation_rows":$rows,"valuation_sec":$pipeSec,"valuation_rows_per_sec":$throughput,"valuation_packed_sec":$ppipeSec,"valuation_packed_rows_per_sec":$pthroughput}""")
     spark.stop()
   }
 }
