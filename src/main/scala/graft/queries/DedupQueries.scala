@@ -172,5 +172,59 @@ object DedupQueries {
       val aug = augmented(s, dir)
       Dedup.simhashPairs(aug, maxHamming = 3,
         bucketCap = Dedup.simhashCapFor(aug.count(), bandBits = 8))
+    },
+
+    // Duplicate clustering: pairwise evidence (exact star-edges to the
+    // canonical doc — linear in group size, never the O(g²) clique — plus
+    // Jaccard≥0.5 near-dup pairs) → connected components → per-doc cluster
+    // id + size. Oracle computes the same components with a recursive CTE
+    // (min reachable id over the symmetric edge set).
+    Q("dedup_clusters",
+      s"""${augCte.replace("WITH aug", "WITH RECURSIVE aug")}, h AS (
+         |  SELECT doc_id, md5(text) AS content_hash FROM aug
+         |), g AS (
+         |  SELECT content_hash, min(doc_id) AS canonical_id
+         |  FROM h GROUP BY content_hash HAVING count(*) > 1
+         |), exact_e AS (
+         |  SELECT h.doc_id AS doc_a, g.canonical_id AS doc_b
+         |  FROM h JOIN g USING (content_hash) WHERE h.doc_id <> g.canonical_id
+         |), sh AS (
+         |  SELECT doc_id, unnest($shinglesSql) AS shingle FROM aug
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+         |), keep AS (
+         |  SELECT shingle FROM sh GROUP BY shingle
+         |  HAVING count(*) >= 2 AND count(*) <= ${Dedup.DefaultDfCap}
+         |), inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  WHERE a.shingle IN (SELECT shingle FROM keep)
+         |  GROUP BY 1, 2
+         |), jac_e AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON inter.doc_a = sa.doc_id
+         |  JOIN sizes sb ON inter.doc_b = sb.doc_id
+         |  WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+         |), edges AS (
+         |  SELECT doc_a, doc_b FROM exact_e UNION SELECT doc_a, doc_b FROM jac_e
+         |), sym AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM edges
+         |  UNION SELECT doc_b, doc_a FROM edges
+         |), reach(id, r) AS (
+         |  SELECT src, src FROM sym
+         |  UNION SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id
+         |), comp AS (
+         |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+         |), csize AS (
+         |  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+         |)
+         |SELECT comp.id AS doc_id, comp.cluster_id, csize.cluster_size
+         |FROM comp JOIN csize USING (cluster_id)""".stripMargin) { (s, dir) =>
+      val aug = augmented(s, dir)
+      val exactEdges = Dedup.exactDuplicates(aug)
+        .select(col("doc_id").as("doc_a"), col("canonical_id").as("doc_b"))
+      val jacEdges = Dedup.jaccardPairs(aug, n = 3, threshold = 0.5)
+        .select("doc_a", "doc_b")
+      Dedup.duplicateClusters(exactEdges.union(jacEdges).distinct())
     })
 }

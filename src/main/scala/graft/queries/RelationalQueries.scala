@@ -120,5 +120,36 @@ object RelationalQueries {
         .withColumn("session_id", sum("boundary").over(ws))
         .groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_events"), (max("us") - min("us")).as("dur_us"))
+    },
+
+    // Backward as-of join: each purchase gets the user's most recent
+    // preceding (inclusive) click. Spark side is the single-sort union
+    // formulation (operators/AsofJoin.scala — no join node, skew-immune);
+    // the oracle is DuckDB's native ASOF LEFT JOIN. The right side is
+    // pre-aggregated per (user_id, us) so the as-of match is unique.
+    Q("q7_asof_join",
+      """WITH clicks AS (
+        |  SELECT user_id, epoch_us(ts) AS us, max(event_id) AS last_click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |), purchases AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, p.user_id, p.us, c.last_click_id,
+        |  p.us - c.us AS gap_us
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.us <= p.us""".stripMargin) { (s, dir) =>
+      import graft.operators.AsofJoin
+      val ev = Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "us").agg(max("event_id").as("last_click_id"))
+        .withColumn("click_us", col("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "us")
+      AsofJoin.backward(purchases, clicks, "user_id", "us",
+        Seq("last_click_id", "click_us"))
+        .select(col("event_id"), col("user_id"), col("us"), col("last_click_id"),
+          (col("us") - col("click_us")).as("gap_us"))
     })
 }

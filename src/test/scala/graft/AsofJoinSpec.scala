@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsofJoin
+
+/** Semantics of the single-sort backward as-of join (operators/AsofJoin):
+  * inclusive bound, per-key isolation, no-match nulls, null payload fields
+  * surviving the struct carry, and plan shape (no join node). */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val left = Seq(
+    (1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 5L, "p0"),
+    (2L, 50L, "q1"), (3L, 7L, "r1")
+  ).toDF("k", "ts", "tag")
+
+  private val right = Seq(
+    (1L, 10L, 100L, Some("a")), (1L, 15L, 101L, None),
+    (2L, 60L, 200L, Some("late")), (9L, 1L, 900L, Some("z"))
+  ).toDF("k", "ts", "rid", "rv")
+
+  test("backward as-of: inclusive bound, latest preceding per key, null on no match") {
+    val out = AsofJoin.backward(left, right, "k", "ts", Seq("rid", "rv"))
+      .orderBy("k", "ts").collect()
+    // k=1 ts=5  → no right row ≤ 5 → null
+    assert(out(0).isNullAt(out(0).fieldIndex("rid")))
+    // k=1 ts=10 → right at exactly 10 matches (inclusive)
+    assert(out(1).getAs[Long]("rid") == 100L && out(1).getAs[String]("rv") == "a")
+    // k=1 ts=20 → latest preceding is ts=15, whose rv payload FIELD is null
+    assert(out(2).getAs[Long]("rid") == 101L)
+    assert(out(2).isNullAt(out(2).fieldIndex("rv")))
+    // k=2 ts=50 → right row at 60 is in the future → null
+    assert(out(3).isNullAt(out(3).fieldIndex("rid")))
+    // k=3 has no right rows at all → null
+    assert(out(4).isNullAt(out(4).fieldIndex("rid")))
+  }
+
+  test("left columns and row count are preserved") {
+    val out = AsofJoin.backward(left, right, "k", "ts", Seq("rid"))
+    assert(out.count() == left.count())
+    assert(out.columns.toSeq == Seq("k", "ts", "tag", "rid"))
+    assert(collectSorted(out, "k", "ts").map(_.getAs[String]("tag")) ==
+      Seq("p0", "p1", "p2", "q1", "r1"))
+  }
+
+  test("plan has a single shuffle and no join node") {
+    val plan = AsofJoin.backward(left, right, "k", "ts", Seq("rid"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1)
+  }
+}

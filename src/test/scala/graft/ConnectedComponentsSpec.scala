@@ -1,0 +1,34 @@
+package graft
+
+import graft.dedup.Dedup
+
+/** Min-label-propagation connected components (dedup/Dedup.scala):
+  * multi-round chains, component isolation, and the cluster projection. */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("path graph needs multiple rounds and still converges to min id") {
+    // 1-2-3-4-5 chain (diameter 4) plus an isolated pair 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(cc(_) == 1L))
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(cc.size == 7)
+  }
+
+  test("edge direction and duplicate edges do not matter") {
+    val edges = Seq((5L, 3L), (3L, 5L), (3L, 9L), (9L, 3L), (9L, 5L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(cc == Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
+  }
+
+  test("duplicateClusters: cluster id is min doc_id, size counts members") {
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClusters(edges)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (7L, 7L, 2L), (8L, 7L, 2L)))
+  }
+}
