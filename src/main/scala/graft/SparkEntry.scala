@@ -16,7 +16,7 @@ object SparkEntry {
       XtQueries.all ++ AtomicQueries.all ++ TextQueries.all ++
       AtomicVaepQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
       MlQueries.all ++ StreamingQueries.all ++ StatsBombQueries.all ++ OptaQueries.all ++
-      WyscoutQueries.all ++ KloppyQueries.all
+      WyscoutQueries.all ++ KloppyQueries.all ++ TokenQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full SPADL normalizer chain (clearance repair, direction fix,

@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.core.Tables
+import graft.text.TokenPipeline
+
+/** Token-level training-data pipeline queries over the ingest-shaped
+  * sequence table (doc_id, tokens: array<int32>, n_tok, source) derived
+  * deterministically from `documents` (md5 word tokenizer — the BPE slot).
+  * The dup-span query runs over the dedup-augmented corpus so exact
+  * duplicated runs are guaranteed at every scale factor. */
+object TokenQueries {
+
+  private val toksSql = """string_split_regex(trim(text), '\s+')"""
+
+  /** Tokenized-sequence table CTE (DuckDB mirror of
+    * TokenPipeline.fromDocuments). */
+  private def tokensCte(from: String) =
+    s"""t AS (
+       |  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       |    list_transform($toksSql,
+       |      w -> CAST(('0x' || substring(md5(w), 1, 8))::BIGINT % 1000000007 AS INT)) AS tokens,
+       |    len($toksSql)::INT AS n_tok, source
+       |  FROM $from
+       |)""".stripMargin
+
+  /** Dedup-style augmentation carrying `source` through. */
+  private val augCte =
+    s"""WITH aug AS (
+       |  SELECT doc_id, text, source FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text, source FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    array_to_string(($toksSql)[1:len($toksSql) - 1], ' '), source
+       |  FROM documents WHERE doc_id % 10 = 0
+       |)""".stripMargin
+
+  private def augmented(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text", "source")
+    val toks = split(trim(col("text")), "\\s+")
+    val exact = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"), col("text"), col("source"))
+    val near = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"), col("source"))
+    d.unionByName(exact).unionByName(near)
+  }
+
+  private def tokenTable(s: SparkSession, dir: String): DataFrame =
+    TokenPipeline.fromDocuments(Tables.documents(s, dir))
+
+  val all: Seq[Q] = Seq(
+
+    Q("tokens_vocab_stats",
+      s"""WITH ${tokensCte("documents")}, ex AS (
+         |  SELECT doc_id, unnest(tokens) AS token FROM t
+         |)
+         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |FROM ex GROUP BY token""".stripMargin) { (s, dir) =>
+      TokenPipeline.vocabStats(tokenTable(s, dir))
+    },
+
+    Q("tokens_hash_split",
+      s"""WITH ${tokensCte("documents")}
+         |SELECT doc_id, source, n_tok,
+         |  ('0x' || substring(md5(doc_id), 1, 15))::BIGINT % 100 AS bucket,
+         |  CASE WHEN ('0x' || substring(md5(doc_id), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+         |       WHEN ('0x' || substring(md5(doc_id), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM t""".stripMargin) { (s, dir) =>
+      TokenPipeline.hashSplit(tokenTable(s, dir))
+    },
+
+    // Exact duplicated 16-token windows over the augmented corpus (the
+    // Lee et al. span-cut input): every occurrence of a window whose hash
+    // appears ≥2 times, with its per-corpus frequency.
+    Q("tokens_dup_spans",
+      s"""$augCte, ${tokensCte("aug")}, w AS (
+         |  SELECT doc_id, unnest(generate_series(1, n_tok - 15)) AS pos, tokens
+         |  FROM t WHERE n_tok >= 16
+         |), h AS (
+         |  SELECT doc_id, pos,
+         |    ('0x' || substring(md5(array_to_string(tokens[pos:pos+15], '_')), 1, 15))::BIGINT AS win_hash
+         |  FROM w
+         |), d AS (
+         |  SELECT doc_id, pos, win_hash, count(*) OVER (PARTITION BY win_hash) AS df
+         |  FROM h
+         |)
+         |SELECT doc_id, pos, win_hash, df FROM d WHERE df >= 2""".stripMargin) { (s, dir) =>
+      TokenPipeline.dupSpans(TokenPipeline.fromDocuments(augmented(s, dir)), w = 16)
+    },
+
+    // Concat-and-chunk packing into 128-token examples; chunk fingerprint
+    // columns (sum/first/last) stand in for the array payload so the
+    // driver's scalar hash-compare sees every token's value and position.
+    Q("tokens_pack_chunks",
+      s"""WITH ${tokensCte("documents")}, o AS (
+         |  SELECT source, doc_id, tokens, n_tok,
+         |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM t WHERE n_tok > 0
+         |), spans AS (
+         |  SELECT source, off, tokens, n_tok,
+         |    unnest(generate_series(off // 128, (off + n_tok - 1) // 128)) AS chunk_id
+         |  FROM o
+         |), pieces AS (
+         |  SELECT source, chunk_id,
+         |    greatest(off, chunk_id * 128) AS gstart,
+         |    tokens[(greatest(off, chunk_id * 128) - off + 1):(least(off + n_tok, (chunk_id + 1) * 128) - off)] AS piece
+         |  FROM spans
+         |), ex AS (
+         |  SELECT source, chunk_id, gstart, piece,
+         |    unnest(generate_series(1, len(piece))) AS i
+         |  FROM pieces
+         |), toks AS (
+         |  SELECT source, chunk_id, gstart, gstart + i - 1 AS gpos, piece[i] AS tok FROM ex
+         |), chunks AS (
+         |  SELECT source, chunk_id, list(tok ORDER BY gpos) AS ct,
+         |    count(DISTINCT gstart) AS n_docs
+         |  FROM toks GROUP BY 1, 2
+         |)
+         |SELECT source, chunk_id, len(ct)::INT AS n_tok,
+         |  list_sum(ct)::BIGINT AS tok_sum,
+         |  ct[1] AS first_token, ct[len(ct)] AS last_token,
+         |  n_docs::BIGINT AS n_docs
+         |FROM chunks""".stripMargin) { (s, dir) =>
+      TokenPipeline.packChunks(tokenTable(s, dir), chunkSize = 128)
+        .select(col("source"), col("chunk_id"), col("n_tok"),
+          aggregate(col("tokens"), lit(0L), (acc, x) => acc + x).as("tok_sum"),
+          element_at(col("tokens"), 1).as("first_token"),
+          element_at(col("tokens"), -1).as("last_token"),
+          col("n_docs"))
+    })
+}

@@ -1,0 +1,110 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Token-level training-data pipeline over the engine's ingest shape —
+  * the pre-tokenized sequence table `(doc_id: string, tokens: array<int32>,
+  * n_tok: int32, source: string)`:
+  *
+  *  - [[fromDocuments]]: deterministic word→int32 tokenizer (md5-derived
+  *    ids, the BPE slot in a real deployment) producing that exact shape;
+  *  - [[vocabStats]]: corpus vocabulary tf/df — one partial-agg shuffle;
+  *  - [[hashSplit]]: train/val/test assignment by a content-stable hash of
+  *    doc_id — map-only, NO shuffle (a split that shuffles 100 TB is wrong);
+  *  - [[dupSpans]]: exact duplicated token-window map (the span-cut input
+  *    of Lee et al. 2022, "Deduplicating Training Data Makes Language
+  *    Models Better"): every W-token window that occurs ≥2 times anywhere
+  *    in the corpus, per occurrence. Work is linear in total tokens and
+  *    output linear in duplicate occurrences — no pair generation at all,
+  *    so unlike pairwise near-dup there is no quadratic risk to cap;
+  *  - [[packChunks]]: concat-and-chunk sequence packing into fixed
+  *    `chunkSize`-token training examples (doc order = doc_id within
+  *    source, chunks never cross sources). Each doc emits at most
+  *    n_tok/C + 1 array *slices* — tokens are never exploded row-per-token,
+  *    so the shuffle moves each token once, inside its slice.
+  */
+object TokenPipeline {
+
+  /** Stable int32 token id in [0, 1e9+7) from the md5 of the word —
+    * SQL-mirrorable: ('0x' || substring(md5(w), 1, 8))::BIGINT % 1000000007. */
+  def tokenId(w: Column): Column =
+    (conv(substring(md5(w), 1, 8), 16, 10).cast("long") % 1000000007L).cast("int")
+
+  /** documents(doc_id, text, source) → the tokenized-sequence table. */
+  def fromDocuments(documents: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    documents.select(
+      col("doc_id").cast("string").as("doc_id"),
+      transform(toks, tokenId(_)).as("tokens"),
+      size(toks).cast("int").as("n_tok"),
+      col("source"))
+  }
+
+  /** Corpus vocabulary: term frequency + document frequency per token. */
+  def vocabStats(tokens: DataFrame): DataFrame =
+    tokens.select(col("doc_id"), explode(col("tokens")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+
+  /** Deterministic train/val/test split: bucket = md5-hash(doc_id) % 100,
+    * <trainPct train, <trainPct+valPct val, else test. Content-stable
+    * (reruns and late-arriving shards land identically) and map-only. */
+  def hashSplit(tokens: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = Dedup.md5Hash60(col("doc_id")) % 100
+    tokens.select(col("doc_id"), col("source"), col("n_tok"),
+      bucket.as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Duplicated-span map: every W-token window (stride 1) whose 60-bit
+    * hash occurs ≥ 2 times in the corpus, as (doc_id, pos, win_hash, df).
+    * Downstream span-cutting removes [pos, pos+w) from all-but-one
+    * occurrence. One exchange (the df count over win_hash). */
+  def dupSpans(tokens: DataFrame, w: Int = 16): DataFrame = {
+    val winHash = (i: Column) => Dedup.md5Hash60(
+      concat_ws("_", transform(slice(col("tokens"), i, lit(w)), _.cast("string"))))
+    val wins = tokens.filter(col("n_tok") >= w)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), col("n_tok") - (w - 1)),
+          i => struct(i.as("pos"), winHash(i).as("win_hash")))).as("wn"))
+      .select(col("doc_id"), col("wn.pos").as("pos"), col("wn.win_hash").as("win_hash"))
+    wins.withColumn("df", count(lit(1)).over(Window.partitionBy("win_hash")))
+      .filter(col("df") >= 2)
+  }
+
+  /** Concat-and-chunk packing: per source, docs in doc_id order are laid
+    * out on a global token axis (running-sum offset) and cut into
+    * `chunkSize` chunks; a doc overlapping k chunk boundaries contributes
+    * k+1 slices. Returns (source, chunk_id, tokens, n_tok, n_docs) with
+    * chunk_id restarting at 0 per source; the final chunk per source may
+    * be short. At cluster scale the offset pass range-partitions on
+    * (source, doc_id) and chunk assembly shuffles each token exactly once
+    * inside its slice struct. */
+  def packChunks(tokens: DataFrame, chunkSize: Int = 128): DataFrame = {
+    val c = chunkSize
+    val prev = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = tokens.filter(col("n_tok") > 0)
+      .withColumn("off", coalesce(sum("n_tok").over(prev), lit(0L)).cast("long"))
+    val gstart = greatest(col("off"), col("chunk_id") * c)
+    val gend = least(col("off") + col("n_tok"), (col("chunk_id") + 1) * c)
+    t.select(col("source"), col("off"), col("tokens"), col("n_tok"),
+        explode(sequence(floor(col("off") / c),
+          floor((col("off") + col("n_tok") - 1) / c))).as("chunk_id"))
+      .select(col("source"), col("chunk_id"), gstart.as("gstart"),
+        slice(col("tokens"), (gstart - col("off") + 1).cast("int"),
+          (gend - gstart).cast("int")).as("piece"))
+      .groupBy("source", "chunk_id")
+      .agg(sort_array(collect_list(struct(col("gstart"), col("piece")))).as("ps"),
+        count(lit(1)).as("n_docs"))
+      .select(col("source"), col("chunk_id"),
+        flatten(col("ps.piece")).as("tokens"), col("n_docs"))
+      .withColumn("n_tok", size(col("tokens")))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.TokenPipeline
+
+/** Edge semantics of the token-level pipeline (text/TokenPipeline.scala):
+  * packing boundary algebra, dup-span stride-1 guarantees, split
+  * determinism, and the ingest-shape contract. */
+class TokenPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (String, String, String)*) =
+    rows.toSeq.toDF("doc_id", "text", "source")
+
+  test("fromDocuments produces the ingest shape with int32 tokens") {
+    val t = TokenPipeline.fromDocuments(docs(("7", "a b c", "s1")))
+    assert(t.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      Seq(("doc_id", "string"), ("tokens", "array<int>"), ("n_tok", "int"), ("source", "string")))
+    val r = t.head()
+    val rToks = r.getSeq[Int](r.fieldIndex("tokens"))
+    assert(rToks.length == 3 && r.getAs[Int]("n_tok") == 3)
+    // same word → same token id, different word → different (md5-stable)
+    val t2 = TokenPipeline.fromDocuments(docs(("8", "c a a", "s1"))).head()
+    val t2Toks = t2.getSeq[Int](t2.fieldIndex("tokens"))
+    assert(t2Toks(1) == t2Toks(2))
+    assert(t2Toks(0) == rToks(2))
+  }
+
+  test("packChunks: exact boundary, straddling doc, per-source restart, short tail") {
+    // source s1: docs of 4+4 tokens with C=4 → doc1 fills chunk 0 exactly,
+    // doc2 fills chunk 1; then a 6-token doc straddles chunks 2..3 leaving
+    // a 2-token tail. source s2 restarts at chunk 0.
+    val t = TokenPipeline.fromDocuments(docs(
+      ("01", "a b c d", "s1"), ("02", "e f g h", "s1"), ("03", "i j k l m n", "s1"),
+      ("10", "x y z", "s2")))
+    val out = TokenPipeline.packChunks(t, chunkSize = 4)
+      .select("source", "chunk_id", "n_tok", "n_docs")
+      .as[(String, Long, Int, Long)].collect().toSet
+    assert(out == Set(
+      ("s1", 0L, 4, 1L), ("s1", 1L, 4, 1L), ("s1", 2L, 4, 1L), ("s1", 3L, 2, 1L),
+      ("s2", 0L, 3, 1L)))
+    // token order is preserved across the straddle: chunk 3 of s1 = [m n]
+    val chunk3 = TokenPipeline.packChunks(t, chunkSize = 4)
+      .filter(col("source") === "s1" && col("chunk_id") === 3)
+      .select("tokens").as[Seq[Int]].head()
+    val doc3 = t.filter(col("doc_id") === "03").select("tokens").as[Seq[Int]].head()
+    assert(chunk3 == doc3.takeRight(2))
+  }
+
+  test("packChunks: chunk crossing a doc boundary concatenates in doc_id order") {
+    val t = TokenPipeline.fromDocuments(docs(
+      ("01", "a b c", "s1"), ("02", "d e f", "s1")))
+    val out = TokenPipeline.packChunks(t, chunkSize = 4)
+      .orderBy("chunk_id").select("tokens", "n_docs").as[(Seq[Int], Long)].collect()
+    val all = t.orderBy("doc_id").select("tokens").as[Seq[Int]].collect().flatten
+    assert(out(0)._1 == all.take(4).toSeq && out(0)._2 == 2L)
+    assert(out(1)._1 == all.drop(4).toSeq && out(1)._2 == 1L)
+  }
+
+  test("dupSpans finds every aligned occurrence, skips short docs, df counts all") {
+    val common = (1 to 16).map(i => s"w$i").mkString(" ")
+    val t = TokenPipeline.fromDocuments(docs(
+      ("01", common + " extra", "s"), ("02", "pre " + common, "s"),
+      ("03", common, "s"), ("04", "short doc", "s")))
+    val spans = TokenPipeline.dupSpans(t, w = 16)
+      .select("doc_id", "pos", "df").as[(String, Int, Long)].collect().toSet
+    // the 16-token run occurs at pos 1 (doc 01), pos 2 (doc 02), pos 1 (doc 03)
+    assert(spans == Set(("01", 1, 3L), ("02", 2, 3L), ("03", 1, 3L)))
+  }
+
+  test("hashSplit is deterministic, exhaustive, and content-stable") {
+    val t = TokenPipeline.fromDocuments(
+      docs((1 to 200).map(i => (s"d$i", "a b", "s")): _*))
+    val s1 = TokenPipeline.hashSplit(t).select("doc_id", "split")
+      .as[(String, String)].collect().toMap
+    val s2 = TokenPipeline.hashSplit(t.orderBy(rand(7))).select("doc_id", "split")
+      .as[(String, String)].collect().toMap
+    assert(s1 == s2 && s1.size == 200)
+    val bySplit = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+  }
+}
