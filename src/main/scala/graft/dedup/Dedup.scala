@@ -288,9 +288,13 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, a: String = "doc_a", b: String = "doc_b",
       maxIter: Int = 20): DataFrame = {
+    // materialize the symmetric edge list once — every propagation round
+    // joins against it, and without this the (possibly expensive) edge
+    // derivation upstream would recompute per round
     val sym = edges.select(col(a).as("src"), col(b).as("dst"))
       .union(edges.select(col(b).as("src"), col(a).as("dst")))
       .distinct()
+      .localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)

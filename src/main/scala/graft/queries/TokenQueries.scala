@@ -134,5 +134,60 @@ object TokenQueries {
           element_at(col("tokens"), 1).as("first_token"),
           element_at(col("tokens"), -1).as("last_token"),
           col("n_docs"))
+    },
+
+    // Deterministic stratified subsample: k docs per source in
+    // content-hash order (source balancing / data mixing without a random
+    // state to reproduce). One window shuffle on source.
+    Q("tokens_sample_stratified",
+      s"""WITH ${tokensCte("documents")}, r AS (
+         |  SELECT doc_id, source, n_tok,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ('0x' || substring(md5(doc_id), 1, 15))::BIGINT, doc_id) AS rk
+         |  FROM t
+         |)
+         |SELECT doc_id, source, n_tok, rk FROM r WHERE rk <= 5""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.dedup.Dedup
+      val w = Window.partitionBy("source")
+        .orderBy(Dedup.md5Hash60(col("doc_id")), col("doc_id"))
+      tokenTable(s, dir)
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          row_number().over(w).cast("bigint").as("rk"))
+        .filter(col("rk") <= 5)
+    },
+
+    // Corpus bigram table (token-level n-gram LM stats): adjacent-pair
+    // counts, one partial-agg shuffle on (a, b).
+    Q("tokens_bigrams",
+      s"""WITH ${tokensCte("documents")}, ex AS (
+         |  SELECT tokens, unnest(generate_series(1, n_tok - 1)) AS i
+         |  FROM t WHERE n_tok >= 2
+         |)
+         |SELECT tokens[i] AS a, tokens[i + 1] AS b, count(*) AS cnt
+         |FROM ex GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      tokenTable(s, dir).filter(col("n_tok") >= 2)
+        .select(explode(transform(sequence(lit(1), col("n_tok") - 1),
+          i => struct(element_at(col("tokens"), i).as("a"),
+            element_at(col("tokens"), i + 1).as("b")))).as("bg"))
+        .groupBy(col("bg.a").as("a"), col("bg.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+    },
+
+    // Token-level quality gate: length bounds + distinct-token ratio
+    // (repetition filter). Map-only — no shuffle at any corpus size.
+    Q("tokens_quality_filter",
+      s"""WITH ${tokensCte("documents")}
+         |SELECT doc_id, source, n_tok,
+         |  len(list_distinct(tokens))::INT AS n_distinct,
+         |  len(list_distinct(tokens))::DOUBLE / n_tok AS distinct_ratio
+         |FROM t
+         |WHERE n_tok >= 10 AND len(list_distinct(tokens))::DOUBLE / n_tok >= 0.3""".stripMargin) { (s, dir) =>
+      val nd = size(array_distinct(col("tokens")))
+      tokenTable(s, dir)
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          nd.cast("int").as("n_distinct"),
+          (nd.cast("double") / col("n_tok")).as("distinct_ratio"))
+        .filter(col("n_tok") >= 10 && col("distinct_ratio") >= 0.3)
     })
 }
