@@ -189,5 +189,36 @@ object TokenQueries {
           nd.cast("int").as("n_distinct"),
           (nd.cast("double") / col("n_tok")).as("distinct_ratio"))
         .filter(col("n_tok") >= 10 && col("distinct_ratio") >= 0.3)
+    },
+
+    // Streaming-native corpus vocabulary: the documents table consumed as
+    // a REAL file-source stream, tokenized on the fly, term frequencies
+    // maintained as a complete-mode streaming aggregation (checkpointed,
+    // AvailableNow), snapshot written per micro-batch. Oracle = the batch
+    // tf aggregate — streaming/batch equivalence is the checked invariant.
+    Q("stream_vocab_from_tokens",
+      s"""WITH ${tokensCte("documents")}, ex AS (
+         |  SELECT unnest(tokens) AS token FROM t
+         |)
+         |SELECT token, count(*) AS tf FROM ex GROUP BY token""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = Tables.documents(s, dir).schema
+      // glob form: the file source needs a directory basePath
+      val stream = s.readStream.schema(schema).parquet(s"$dir/documents.parque[t]")
+      val agg = TokenPipeline.fromDocuments(stream)
+        .select(explode(col("tokens")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("tf"))
+      val out = java.nio.file.Files.createTempDirectory("graft_vocab_sink").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_vocab_ckpt").toString
+      val q = agg.writeStream
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("overwrite").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
     })
 }

@@ -20,6 +20,46 @@ object VaepQueries {
 
   private val K = 3
 
+  /** Formula chain over the deterministic synthetic probabilities
+    * (scores_p/concedes_p from seq) — appended directly after $OracleCte;
+    * exposes CTE `v` with offensive_value/defensive_value. */
+  private val FormulaCtes: String =
+    """, p AS (
+      |  SELECT *,
+      |    (seq * 17 % 1000) / 1000.0 AS scores_p,
+      |    (seq * 29 % 1000) / 1000.0 AS concedes_p
+      |  FROM actions
+      |), pr AS (
+      |  SELECT *,
+      |    coalesce(lag(team_id) OVER wg, team_id) AS pv_team,
+      |    coalesce(lag(time_seconds) OVER wg, time_seconds) AS pv_time,
+      |    coalesce(lag(type_id) OVER wg, type_id) AS pv_type,
+      |    coalesce(lag(result_id) OVER wg, result_id) AS pv_result,
+      |    coalesce(lag(scores_p) OVER wg, scores_p) AS pv_ps,
+      |    coalesce(lag(concedes_p) OVER wg, concedes_p) AS pv_pc
+      |  FROM p
+      |  WINDOW wg AS (PARTITION BY game_id ORDER BY period_id, time_seconds, seq)
+      |), v AS (
+      |  SELECT *,
+      |    scores_p - (CASE
+      |      WHEN type_id IN (5, 6) THEN 0.0465
+      |      WHEN type_id = 12 THEN 0.792453
+      |      WHEN pv_type IN (11, 12, 13) AND pv_result = 1 THEN 0.0
+      |      WHEN abs(time_seconds - pv_time) > 10.0 THEN 0.0
+      |      WHEN pv_team = team_id THEN pv_ps ELSE pv_pc END) AS offensive_value,
+      |    -(concedes_p - (CASE
+      |      WHEN pv_type IN (11, 12, 13) AND pv_result = 1 THEN 0.0
+      |      WHEN abs(time_seconds - pv_time) > 10.0 THEN 0.0
+      |      WHEN pv_team = team_id THEN pv_pc ELSE pv_ps END)) AS defensive_value
+      |  FROM pr
+      |)""".stripMargin
+
+  /** Spark twin of [[FormulaCtes]]. */
+  private def formulaValues(a: DataFrame): DataFrame =
+    Formula.value(a
+      .withColumn("scores_p", (col("seq") * 17 % 1000) / lit(1000.0))
+      .withColumn("concedes_p", (col("seq") * 29 % 1000) / lit(1000.0)))
+
   // ---- shared SQL fragments -------------------------------------------------
 
   /** Lag-filled game-state CTE mirroring GameStates.withStates. */
@@ -227,43 +267,59 @@ object VaepQueries {
     },
 
     Q("vaep_formula",
-      s"""$OracleCte, p AS (
-         |  SELECT *,
-         |    (seq * 17 % 1000) / 1000.0 AS scores_p,
-         |    (seq * 29 % 1000) / 1000.0 AS concedes_p
-         |  FROM actions
-         |), pr AS (
-         |  SELECT *,
-         |    coalesce(lag(team_id) OVER wg, team_id) AS pv_team,
-         |    coalesce(lag(time_seconds) OVER wg, time_seconds) AS pv_time,
-         |    coalesce(lag(type_id) OVER wg, type_id) AS pv_type,
-         |    coalesce(lag(result_id) OVER wg, result_id) AS pv_result,
-         |    coalesce(lag(scores_p) OVER wg, scores_p) AS pv_ps,
-         |    coalesce(lag(concedes_p) OVER wg, concedes_p) AS pv_pc
-         |  FROM p
-         |  WINDOW wg AS (PARTITION BY game_id ORDER BY period_id, time_seconds, seq)
-         |), v AS (
-         |  SELECT *,
-         |    scores_p - (CASE
-         |      WHEN type_id IN (5, 6) THEN 0.0465
-         |      WHEN type_id = 12 THEN 0.792453
-         |      WHEN pv_type IN (11, 12, 13) AND pv_result = 1 THEN 0.0
-         |      WHEN abs(time_seconds - pv_time) > 10.0 THEN 0.0
-         |      WHEN pv_team = team_id THEN pv_ps ELSE pv_pc END) AS offensive_value,
-         |    -(concedes_p - (CASE
-         |      WHEN pv_type IN (11, 12, 13) AND pv_result = 1 THEN 0.0
-         |      WHEN abs(time_seconds - pv_time) > 10.0 THEN 0.0
-         |      WHEN pv_team = team_id THEN pv_pc ELSE pv_ps END)) AS defensive_value
-         |  FROM pr
-         |)
+      s"""$OracleCte$FormulaCtes
          |SELECT game_id, action_id, seq, offensive_value, defensive_value,
          |  offensive_value + defensive_value AS vaep_value
          |FROM v""".stripMargin) { (s, dir) =>
-      val withP = actions(s, dir)
-        .withColumn("scores_p", (col("seq") * 17 % 1000) / lit(1000.0))
-        .withColumn("concedes_p", (col("seq") * 29 % 1000) / lit(1000.0))
-      Formula.value(withP)
+      formulaValues(actions(s, dir))
         .select("game_id", "action_id", "seq", "offensive_value",
           "defensive_value", "vaep_value")
+    },
+
+    // The reference's headline downstream use (public notebook 4): per-
+    // player VAEP totals normalized per 90 minutes, minutes from the
+    // synthetic lineup analogue (convert_minutes_played semantics, player
+    // = user). Float determinism: per-action doubles are summed as
+    // DECIMAL(38,18) (exact, order-independent), the sum requantized to 6
+    // fractional digits before the one cast back to DOUBLE (the scaled
+    // integer then fits in 2^53, so the decimal→double conversion is
+    // correctly rounded — and identical — in both engines; at 18 digits
+    // Spark and DuckDB convert 1 ulp apart); the per-90
+    // division/multiplication runs in one fixed order both sides.
+    Q("vaep_player_rating",
+      s"""$OracleCte$FormulaCtes, pv AS (
+         |  SELECT player_id, count(*) AS n_actions,
+         |    -- round() not a bare rescale cast: DuckDB's decimal downscale
+         |    -- cast TRUNCATES while Spark's rounds HALF_UP; round() is
+         |    -- half-away-from-zero in both
+         |    CAST(round(sum(CAST(offensive_value + defensive_value AS DECIMAL(38,18))), 6) AS DECIMAL(38,6)) AS vsum
+         |  FROM v GROUP BY player_id
+         |), mins AS (
+         |  SELECT user_id AS player_id,
+         |    (coalesce(min(CASE WHEN event_type = 'error' THEN epoch_us(ts) END),
+         |              max(epoch_us(ts))) - min(epoch_us(ts))) / 60000000.0 AS minutes_played
+         |  FROM events GROUP BY user_id
+         |)
+         |SELECT p.player_id, p.n_actions, CAST(p.vsum AS DOUBLE) AS vaep_total,
+         |  m.minutes_played,
+         |  CAST(p.vsum AS DOUBLE) / m.minutes_played * 90 AS vaep_per90
+         |FROM pv p JOIN mins m USING (player_id)
+         |WHERE m.minutes_played > 0""".stripMargin) { (s, dir) =>
+      val perPlayer = formulaValues(actions(s, dir))
+        .groupBy("player_id")
+        .agg(count(lit(1)).as("n_actions"),
+          sum((col("offensive_value") + col("defensive_value"))
+            .cast("decimal(38,18)")).cast("decimal(38,6)").as("vsum"))
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val mins = Tables.events(s, dir)
+        .groupBy(col("user_id").as("player_id"))
+        .agg(((coalesce(min(when(col("event_type") === "error", us)), max(us)) - min(us))
+          / 60000000.0).as("minutes_played"))
+      perPlayer.join(mins, "player_id")
+        .filter(col("minutes_played") > 0)
+        .select(col("player_id"), col("n_actions"),
+          col("vsum").cast("double").as("vaep_total"),
+          col("minutes_played"),
+          (col("vsum").cast("double") / col("minutes_played") * 90).as("vaep_per90"))
     })
 }
