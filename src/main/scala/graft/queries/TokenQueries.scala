@@ -220,5 +220,69 @@ object TokenQueries {
         .start()
       q.awaitTermination()
       s.read.parquet(out)
+    },
+
+    // Stateful streaming packer (streaming/StreamingPacker.scala): docs
+    // consumed as a real stream, per-source flatMapGroupsWithState carries
+    // the partial chunk, COMPLETE 128-token examples are emitted exactly
+    // once. Oracle = the batch packing chain restricted to full chunks
+    // (the tail stays buffered in state — a packer that emitted partial
+    // examples would break the fixed-shape training contract).
+    Q("stream_pack_chunks",
+      s"""WITH ${tokensCte("documents")}, o AS (
+         |  SELECT source, doc_id, tokens, n_tok,
+         |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM t WHERE n_tok > 0
+         |), spans AS (
+         |  SELECT source, off, tokens, n_tok,
+         |    unnest(generate_series(off // 128, (off + n_tok - 1) // 128)) AS chunk_id
+         |  FROM o
+         |), pieces AS (
+         |  SELECT source, chunk_id,
+         |    greatest(off, chunk_id * 128) AS gstart,
+         |    tokens[(greatest(off, chunk_id * 128) - off + 1):(least(off + n_tok, (chunk_id + 1) * 128) - off)] AS piece
+         |  FROM spans
+         |), ex AS (
+         |  SELECT source, chunk_id, gstart, piece,
+         |    unnest(generate_series(1, len(piece))) AS i
+         |  FROM pieces
+         |), toks AS (
+         |  SELECT source, chunk_id, gstart, gstart + i - 1 AS gpos, piece[i] AS tok FROM ex
+         |), chunks AS (
+         |  SELECT source, chunk_id, list(tok ORDER BY gpos) AS ct,
+         |    count(DISTINCT gstart) AS n_docs
+         |  FROM toks GROUP BY 1, 2
+         |)
+         |SELECT source, chunk_id, len(ct)::INT AS n_tok,
+         |  list_sum(ct)::BIGINT AS tok_sum,
+         |  ct[1] AS first_token, ct[len(ct)] AS last_token,
+         |  n_docs::BIGINT AS n_docs
+         |FROM chunks WHERE len(ct) = 128""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.StreamingPacker
+      import s.implicits._
+      val schema = Tables.documents(s, dir).schema
+      val stream = s.readStream.schema(schema).parquet(s"$dir/documents.parque[t]")
+      val packed = StreamingPacker.pack(
+        TokenPipeline.fromDocuments(stream).as[StreamingPacker.TokenDoc],
+        chunkSize = 128)
+      val out = java.nio.file.Files.createTempDirectory("graft_pack_sink").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_pack_ckpt").toString
+      val q = packed.toDF().writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .select(col("source"), col("chunk_id"), col("n_tok"),
+          aggregate(col("tokens"), lit(0L), (acc, x) => acc + x).as("tok_sum"),
+          element_at(col("tokens"), 1).as("first_token"),
+          element_at(col("tokens"), -1).as("last_token"),
+          col("n_docs"))
     })
 }

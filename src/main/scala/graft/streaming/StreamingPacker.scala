@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming sequence packer — the concat-and-chunk packing of
+  * `text/TokenPipeline.packChunks` as a typed stateful Dataset operator:
+  * pre-tokenized docs arrive as a stream, state per source carries the
+  * partial chunk (buffer + running chunk counter) across micro-batches,
+  * and every completed `chunkSize`-token training example is emitted
+  * exactly once (append mode; the tail stays buffered for the next
+  * micro-batch — a packer that emitted partial examples would break the
+  * fixed-shape training contract).
+  *
+  * Determinism contract: within a micro-batch the group's docs are packed
+  * in doc_id order; across micro-batches the source must deliver doc_ids
+  * monotonically (ingest order — what a file/Iceberg append source
+  * provides). Under that contract the emitted chunks are byte-identical
+  * to the batch packer's full chunks for the same corpus — asserted in
+  * StreamingPackerSpec for multi-batch arrivals, and oracle-checked
+  * end-to-end by the `stream_pack_chunks` driver query.
+  *
+  * State is O(chunkSize + one doc) per source; emission is linear in
+  * tokens. At cluster scale sources shard the state across executors and
+  * each token is buffered at most once — same shuffle budget as the
+  * batch packer's single exchange.
+  */
+object StreamingPacker {
+
+  final case class TokenDoc(doc_id: String, tokens: Seq[Int], n_tok: Int, source: String)
+
+  /** nextChunkId: id the in-progress chunk will get when it completes;
+    * docsInCur: docs that have contributed ≥1 token to the in-progress
+    * chunk (mirrors the batch packer's per-chunk piece count). */
+  final case class PackState(nextChunkId: Long, buffer: Seq[Int], docsInCur: Long)
+
+  final case class PackedChunk(source: String, chunk_id: Long, tokens: Seq[Int],
+      n_tok: Int, n_docs: Long)
+
+  def packGroup(source: String, docs: Seq[TokenDoc], st: PackState,
+      chunkSize: Int): (Seq[PackedChunk], PackState) = {
+    var buf = st.buffer
+    var docsInCur = st.docsInCur
+    var chunkId = st.nextChunkId
+    val out = Seq.newBuilder[PackedChunk]
+    for (d <- docs.sortBy(_.doc_id) if d.n_tok > 0) {
+      buf = buf ++ d.tokens
+      docsInCur += 1
+      while (buf.length >= chunkSize) {
+        val (chunk, rest) = buf.splitAt(chunkSize)
+        out += PackedChunk(source, chunkId, chunk, chunkSize, docsInCur)
+        chunkId += 1
+        buf = rest
+        // rest (if any) is entirely the tail of the current doc — the
+        // buffer was < chunkSize before this doc was appended
+        docsInCur = if (rest.nonEmpty) 1L else 0L
+      }
+    }
+    (out.result(), PackState(chunkId, buf, docsInCur))
+  }
+
+  def pack(docs: Dataset[TokenDoc], chunkSize: Int = 128): Dataset[PackedChunk] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[PackState, PackedChunk](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[TokenDoc], state: GroupState[PackState]) =>
+          val st = state.getOption.getOrElse(PackState(0L, Nil, 0L))
+          val (out, next) = packGroup(source, rows.toSeq, st, chunkSize)
+          state.update(next)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamingPacker
+import graft.streaming.StreamingPacker.{PackedChunk, PackState, TokenDoc}
+import graft.text.TokenPipeline
+
+/** Stateful streaming packer (streaming/StreamingPacker.scala): pure
+  * packing algebra, multi-micro-batch state carry, and batch↔stream
+  * equivalence on full chunks. */
+class StreamingPackerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Int, src: String, toks: Range) =
+    TokenDoc(f"$id%04d", toks.toSeq, toks.size, src)
+
+  test("packGroup: chunk boundaries, straddles, and piece counts") {
+    val st0 = PackState(0L, Nil, 0L)
+    // 3+3 tokens, C=4: chunk 0 = [d1, head of d2], tail [5,6] buffered
+    val (out, st) = StreamingPacker.packGroup("s",
+      Seq(doc(1, "s", 1 to 3), doc(2, "s", 4 to 6)), st0, 4)
+    assert(out == Seq(PackedChunk("s", 0L, Seq(1, 2, 3, 4), 4, 2L)))
+    assert(st == PackState(1L, Seq(5, 6), 1L))
+    // a doc spanning several chunks keeps n_docs=1 on interior chunks
+    val (out2, st2) = StreamingPacker.packGroup("s", Seq(doc(3, "s", 7 to 16)), st, 4)
+    assert(out2 == Seq(
+      PackedChunk("s", 1L, Seq(5, 6, 7, 8), 4, 2L),
+      PackedChunk("s", 2L, Seq(9, 10, 11, 12), 4, 1L),
+      PackedChunk("s", 3L, Seq(13, 14, 15, 16), 4, 1L)))
+    assert(st2 == PackState(4L, Nil, 0L))
+    // exact fill: a doc that lands on the boundary leaves an empty buffer
+    val (out3, st3) = StreamingPacker.packGroup("s", Seq(doc(4, "s", 1 to 4)), st2, 4)
+    assert(out3.head.n_docs == 1L && st3.buffer.isEmpty && st3.docsInCur == 0L)
+  }
+
+  test("multi-batch streaming equals single-batch packing on full chunks") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (1 to 9).map(i => doc(i, if (i % 2 == 0) "a" else "b", 1 to (i * 3)))
+    val (batch1, batch2) = docs.splitAt(5) // doc_id-monotone arrival
+    val input = MemoryStream[TokenDoc]
+    val out = StreamingPacker.pack(input.toDS(), chunkSize = 16)
+    val ckpt = Files.createTempDirectory("pack_ckpt").toString
+    val query = out.writeStream
+      .format("memory").queryName("pack_out").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(50))
+      .start()
+    try {
+      input.addData(batch1)
+      query.processAllAvailable()
+      input.addData(batch2)
+      query.processAllAvailable()
+      val streamed = spark.table("pack_out").as[PackedChunk].collect()
+        .sortBy(c => (c.source, c.chunk_id)).toSeq
+      // reference: everything in ONE state pass per source
+      val expected = docs.groupBy(_.source).toSeq.flatMap { case (src, ds) =>
+        StreamingPacker.packGroup(src, ds, PackState(0L, Nil, 0L), 16)._1
+      }.sortBy(c => (c.source, c.chunk_id))
+      assert(streamed == expected)
+      assert(streamed.forall(_.n_tok == 16))
+    } finally query.stop()
+  }
+
+  test("streaming full chunks match the batch packer on the documents table") {
+    val docsDf = Seq(
+      ("d01", "alpha beta gamma delta epsilon zeta", "s1"),
+      ("d02", "one two three four five six seven eight nine ten", "s1"),
+      ("d03", "a b c d e f g h i j k l m n o p q r", "s2"),
+      ("d04", "x y z w", "s2"),
+      ("d05", "p q r s t u v", "s1")
+    ).toDF("doc_id", "text", "source")
+    val toks = TokenPipeline.fromDocuments(docsDf)
+    val C = 8
+    val batchFull = TokenPipeline.packChunks(toks, C)
+      .filter($"n_tok" === C)
+      .select("source", "chunk_id", "tokens", "n_tok", "n_docs")
+      .as[PackedChunk].collect().sortBy(c => (c.source, c.chunk_id)).toSeq
+    val viaState = toks.as[TokenDoc].collect().groupBy(_.source).toSeq
+      .flatMap { case (src, ds) =>
+        StreamingPacker.packGroup(src, ds.toSeq, PackState(0L, Nil, 0L), C)._1
+      }.sortBy(c => (c.source, c.chunk_id))
+    assert(viaState == batchFull)
+  }
+}
