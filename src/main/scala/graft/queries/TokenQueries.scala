@@ -222,6 +222,32 @@ object TokenQueries {
       s.read.parquet(out)
     },
 
+    // Streaming ingest dedup gate: exact dedup as a stateful streaming
+    // dropDuplicates on the content hash (state = seen-hash set, the
+    // shape an exactly-once ingest dedup has at scale; unbounded here,
+    // watermark-scoped in a real deployment). Projected to the hash
+    // before dedup so the emitted set is deterministic regardless of
+    // which duplicate arrives first.
+    Q("stream_dedup_exact",
+      """SELECT DISTINCT md5(text) AS content_hash FROM documents""") { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = Tables.documents(s, dir).schema
+      val stream = s.readStream.schema(schema).parquet(s"$dir/documents.parque[t]")
+      val distinctHashes = stream.select(md5(col("text")).as("content_hash")).dropDuplicates()
+      val out = java.nio.file.Files.createTempDirectory("graft_dedup_sink").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt").toString
+      val q = distinctHashes.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+    },
+
     // Stateful streaming packer (streaming/StreamingPacker.scala): docs
     // consumed as a real stream, per-source flatMapGroupsWithState carries
     // the partial chunk, COMPLETE 128-token examples are emitted exactly

@@ -65,6 +65,26 @@ class StreamingPackerSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dropDuplicates dedup gate: duplicates across micro-batches emit once") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val out = input.toDS().toDF("text")
+      .select(org.apache.spark.sql.functions.md5($"text").as("content_hash"))
+      .dropDuplicates()
+    val ckpt = Files.createTempDirectory("dedup_ckpt").toString
+    val query = out.writeStream
+      .format("memory").queryName("dedup_out").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData(Seq("aa", "bb", "aa"))
+      query.processAllAvailable()
+      input.addData(Seq("bb", "cc")) // bb already seen in batch 1 → state drops it
+      query.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 3)
+    } finally query.stop()
+  }
+
   test("streaming full chunks match the batch packer on the documents table") {
     val docsDf = Seq(
       ("d01", "alpha beta gamma delta epsilon zeta", "s1"),
