@@ -65,6 +65,41 @@ class StreamingPackerSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("packer state survives a checkpoint restart (chunk ids and buffer continue)") {
+    import org.apache.spark.sql.functions.col
+    val srcDir = Files.createTempDirectory("pack_src").toString
+    val outDir = Files.createTempDirectory("pack_out_d").toString
+    val ckpt = Files.createTempDirectory("pack_ck").toString
+    val C = 8
+    def write(docs: Seq[TokenDoc]): Unit =
+      docs.toDS().toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    def runToCompletion(): Unit = {
+      val sch = Seq(doc(0, "s", 1 to 1)).toDS().toDF().schema
+      val stream = spark.readStream.schema(sch).parquet(srcDir)
+      val q = StreamingPacker.pack(stream.as[TokenDoc], C).toDF().writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    }
+    val docs1 = Seq(doc(1, "s", 1 to 5), doc(2, "s", 6 to 11))   // 11 tokens → 1 chunk + 3-token tail
+    val docs2 = Seq(doc(3, "s", 12 to 20), doc(4, "s", 21 to 24)) // tail + 13 more → chunks 1, 2
+    write(docs1); runToCompletion()
+    write(docs2); runToCompletion() // NEW query, SAME checkpoint → state restored
+    val got = spark.read.parquet(outDir).as[PackedChunk].collect()
+      .sortBy(_.chunk_id).toSeq
+    val expected = StreamingPacker.packGroup("s", docs1 ++ docs2, PackState(0L, Nil, 0L), C)._1
+    assert(got == expected)
+    assert(got.map(_.chunk_id) == (0L until got.length))
+    // the run-2 chunks depend on run-1's buffered tail (tokens 9..11):
+    // proves the state carried across the restart
+    assert(got(1).tokens.take(3) == Seq(9, 10, 11))
+  }
+
   test("streaming dropDuplicates dedup gate: duplicates across micro-batches emit once") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
