@@ -20,16 +20,10 @@ object VaepQueries {
 
   private val K = 3
 
-  /** Formula chain over the deterministic synthetic probabilities
-    * (scores_p/concedes_p from seq) — appended directly after $OracleCte;
+  /** Formula tail over ANY CTE `p` exposing scores_p/concedes_p —
     * exposes CTE `v` with offensive_value/defensive_value. */
-  private val FormulaCtes: String =
-    """, p AS (
-      |  SELECT *,
-      |    (seq * 17 % 1000) / 1000.0 AS scores_p,
-      |    (seq * 29 % 1000) / 1000.0 AS concedes_p
-      |  FROM actions
-      |), pr AS (
+  private val FormulaFromP: String =
+    """, pr AS (
       |  SELECT *,
       |    coalesce(lag(team_id) OVER wg, team_id) AS pv_team,
       |    coalesce(lag(time_seconds) OVER wg, time_seconds) AS pv_time,
@@ -53,6 +47,18 @@ object VaepQueries {
       |      WHEN pv_team = team_id THEN pv_pc ELSE pv_ps END)) AS defensive_value
       |  FROM pr
       |)""".stripMargin
+
+  /** Deterministic synthetic probabilities from seq (the stand-in for a
+    * learned model's outputs in value-golden formula tests). */
+  private val SyntheticPCte: String =
+    """, p AS (
+      |  SELECT *,
+      |    (seq * 17 % 1000) / 1000.0 AS scores_p,
+      |    (seq * 29 % 1000) / 1000.0 AS concedes_p
+      |  FROM actions
+      |)""".stripMargin
+
+  private val FormulaCtes: String = SyntheticPCte + FormulaFromP
 
   /** Spark twin of [[FormulaCtes]]. */
   private def formulaValues(a: DataFrame): DataFrame =
@@ -321,5 +327,35 @@ object VaepQueries {
           col("vsum").cast("double").as("vaep_total"),
           col("minutes_played"),
           (col("vsum").cast("double") / col("minutes_played") * 90).as("vaep_per90"))
+    },
+
+    // The model PREDICT path value-golden: fixed literal coefficients
+    // through the logistic link (the shape VaepModel.estimateProbabilities
+    // produces from a learned model), then the full formula. JVM/DuckDB
+    // exp() differ in the last ulp → probabilities round to 9 decimals on
+    // BOTH sides (the trig rule); everything downstream is arithmetic in
+    // identical order. The learned-model queries stay rows-only — this
+    // pins the scoring/rating chain itself.
+    Q("vaep_rate_logistic",
+      s"""$OracleCte, p AS (
+         |  SELECT *,
+         |    round(1.0 / (1.0 + exp(-(-3.0 + 0.05 * end_x - 0.02 * abs(end_y - 34.0)
+         |      + (CASE WHEN type_id IN (11, 12, 13) THEN 0.9 ELSE 0.0 END)))), 9) AS scores_p,
+         |    round(1.0 / (1.0 + exp(-(-4.0 + 0.03 * (105.0 - start_x)))), 9) AS concedes_p
+         |  FROM actions
+         |)$FormulaFromP
+         |SELECT game_id, action_id, seq, scores_p, concedes_p,
+         |  offensive_value, defensive_value,
+         |  offensive_value + defensive_value AS vaep_value
+         |FROM v""".stripMargin) { (s, dir) =>
+      val zS = lit(-3.0) + lit(0.05) * col("end_x") - lit(0.02) * abs(col("end_y") - 34.0) +
+        when(col("type_id").isin(11, 12, 13), 0.9).otherwise(0.0)
+      val zC = lit(-4.0) + lit(0.03) * (lit(105.0) - col("start_x"))
+      val withP = actions(s, dir)
+        .withColumn("scores_p", round(lit(1.0) / (lit(1.0) + exp(-zS)), 9))
+        .withColumn("concedes_p", round(lit(1.0) / (lit(1.0) + exp(-zC)), 9))
+      Formula.value(withP)
+        .select("game_id", "action_id", "seq", "scores_p", "concedes_p",
+          "offensive_value", "defensive_value", "vaep_value")
     })
 }
