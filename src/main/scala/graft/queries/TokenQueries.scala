@@ -94,6 +94,37 @@ object TokenQueries {
       TokenPipeline.dupSpans(TokenPipeline.fromDocuments(augmented(s, dir)), w = 16)
     },
 
+    // Span-cut statistics (the dedup the span map exists for): per doc,
+    // how many token positions fall in duplicated 16-windows whose
+    // globally-first occurrence lies elsewhere. Keeper = min
+    // (doc_id::BIGINT, pos) per window hash; overlapping cuts union.
+    Q("tokens_span_cut",
+      s"""$augCte, ${tokensCte("aug")}, w AS (
+         |  SELECT doc_id, unnest(generate_series(1, n_tok - 15)) AS pos, tokens
+         |  FROM t WHERE n_tok >= 16
+         |), h AS (
+         |  SELECT doc_id, pos,
+         |    ('0x' || substring(md5(array_to_string(tokens[pos:pos+15], '_')), 1, 15))::BIGINT AS win_hash
+         |  FROM w
+         |), d AS (
+         |  SELECT doc_id, pos, win_hash, count(*) OVER (PARTITION BY win_hash) AS df
+         |  FROM h
+         |), rk AS (
+         |  SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY win_hash ORDER BY CAST(doc_id AS BIGINT), pos) AS rn
+         |  FROM d WHERE df >= 2
+         |), cov AS (
+         |  SELECT DISTINCT doc_id, pos + i - 1 AS cp
+         |  FROM (SELECT doc_id, pos, unnest(generate_series(1, 16)) AS i FROM rk WHERE rn > 1)
+         |), cuts AS (
+         |  SELECT doc_id, count(*) AS n_cut FROM cov GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, t.n_tok, coalesce(c.n_cut, 0) AS n_cut,
+         |  t.n_tok - coalesce(c.n_cut, 0) AS n_kept
+         |FROM t LEFT JOIN cuts c USING (doc_id)""".stripMargin) { (s, dir) =>
+      TokenPipeline.dupSpanCutStats(TokenPipeline.fromDocuments(augmented(s, dir)), w = 16)
+    },
+
     // Concat-and-chunk packing into 128-token examples; chunk fingerprint
     // columns (sum/first/last) stand in for the array payload so the
     // driver's scalar hash-compare sees every token's value and position.

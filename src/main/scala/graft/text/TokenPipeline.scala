@@ -78,6 +78,30 @@ object TokenPipeline {
       .filter(col("df") >= 2)
   }
 
+  /** Span-cut completion of [[dupSpans]] (the actual dedup of Lee et al.):
+    * per duplicated window hash the globally-first occurrence — min
+    * (doc_id-as-number, pos) — is kept, every other occurrence marks its
+    * W token positions for removal; overlapping cut windows union. Returns
+    * per-doc (doc_id, n_tok, n_cut, n_kept). Work: one row_number window
+    * over win_hash + a W-fold explode of cut occurrences only (not of the
+    * corpus), distinct, count — all equi-shuffles, output one row per doc. */
+  def dupSpanCutStats(tokens: DataFrame, w: Int = 16): DataFrame = {
+    val dup = dupSpans(tokens, w)
+    val keeper = Window.partitionBy("win_hash")
+      .orderBy(col("doc_id").cast("bigint"), col("pos"))
+    val cut = dup.withColumn("rn", row_number().over(keeper))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("cp"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_cut"))
+    tokens.select("doc_id", "n_tok")
+      .join(cut, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+        (col("n_tok") - coalesce(col("n_cut"), lit(0L))).as("n_kept"))
+  }
+
   /** Concat-and-chunk packing: per source, docs in doc_id order are laid
     * out on a global token axis (running-sum offset) and cut into
     * `chunkSize` chunks; a doc overlapping k chunk boundaries contributes

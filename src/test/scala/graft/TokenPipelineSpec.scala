@@ -69,6 +69,21 @@ class TokenPipelineSpec extends SparkSpec {
     assert(spans == Set(("01", 1, 3L), ("02", 2, 3L), ("03", 1, 3L)))
   }
 
+  test("dupSpanCutStats keeps the first occurrence, cuts the rest, unions overlaps") {
+    val common = (1 to 16).map(i => s"w$i").mkString(" ")
+    val t = TokenPipeline.fromDocuments(docs(
+      ("1", common + " tail1 tail2", "s"),     // keeper (min doc_id, pos)
+      ("2", "pre " + common, "s"),             // cut: positions 2..17
+      ("3", common + " " + common, "s")))      // cut: two overlapping-free spans 1..16, 18..33
+    val full = TokenPipeline.dupSpanCutStats(t, w = 16)
+      .as[(String, Int, Long, Long)].collect().map(r => r._1 -> (r._3, r._4)).toMap
+    assert(full("1") == (0L, 18L))   // keeper doc untouched
+    assert(full("2") == (16L, 1L))   // the copied window cut, "pre" kept
+    // doc 3 (32 tokens): every window duplicates the keeper's hash or an
+    // earlier in-doc window; all 32 positions covered by some cut window
+    assert(full("3") == (32L, 0L))
+  }
+
   test("hashSplit is deterministic, exhaustive, and content-stable") {
     val t = TokenPipeline.fromDocuments(
       docs((1 to 200).map(i => (s"d$i", "a b", "s")): _*))
