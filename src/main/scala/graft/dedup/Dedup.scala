@@ -275,14 +275,13 @@ object Dedup {
     * Algorithm: iterative min-label propagation. Each round does one
     * equi-join (edges ⋈ labels on src) + one min-aggregate — two bounded
     * hash shuffles, rows ≤ |E|+|V|, no per-node state wider than (id,
-    * comp). Rounds needed = graph diameter; near-dup components are
-    * near-cliques (every pair that shares a band/shingle is an edge), so
-    * in practice 2–3 rounds close 100 TB-scale corpora. For adversarial
-    * long-chain graphs the O(log n)-round alternating star-contraction
-    * (Kiveris et al., "Connected Components in MapReduce") drops in behind
-    * the same signature; `maxIter` bounds the worst case either way.
-    * Lineage is truncated per round with an eager localCheckpoint so the
-    * plan stays O(1) deep regardless of round count.
+    * comp). Each round ends with a pointer-jumping shortcut —
+    * comp(v) ← comp(comp(v)), sound because comp(x) ≤ x and comp(x) stays
+    * inside x's component — which halves label-chain lengths, so rounds =
+    * O(log diameter) even on adversarial long-chain graphs (near-dup
+    * components are near-cliques and close in 2–3 rounds regardless);
+    * `maxIter` bounds the worst case. Lineage is truncated per round with
+    * an eager localCheckpoint so the plan stays O(1) deep.
     *
     * Returns (id, comp) for every vertex that appears in `edges`.
     */
@@ -303,8 +302,13 @@ object Dedup {
     while (!converged && i < maxIter) {
       val prop = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"))
-      val next = labels.union(prop)
+      val afterMin = labels.union(prop)
         .groupBy("id").agg(min("comp").as("comp"))
+      // pointer jump: comp(v) ← comp(comp(v)). comp(x) ≤ x, so the parent
+      // lookup only ever lowers labels and stays within the component.
+      val parent = afterMin.select(col("id").as("pid"), col("comp").as("pcomp"))
+      val next = afterMin.join(parent, afterMin("comp") === parent("pid"))
+        .select(col("id"), col("pcomp").as("comp"))
         .localCheckpoint(true)
       // converged when no label moved this round (labels only decrease,
       // so an anti-equality count of 0 is a true fixpoint)

@@ -17,6 +17,15 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(cc.size == 7)
   }
 
+  test("pointer jumping: a 64-chain converges within O(log n) rounds") {
+    // without the comp(comp(v)) shortcut this needs ~63 rounds; with it,
+    // label-chain lengths halve per round, so maxIter = 10 suffices
+    val edges = (1L until 64L).map(i => (i, i + 1)).toSeq.toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(edges, maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size == 64 && cc.values.forall(_ == 1L))
+  }
+
   test("edge direction and duplicate edges do not matter") {
     val edges = Seq((5L, 3L), (3L, 5L), (3L, 9L), (9L, 3L), (9L, 5L))
       .toDF("doc_a", "doc_b")
