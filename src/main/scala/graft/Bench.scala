@@ -102,33 +102,42 @@ object Bench {
     // driver record was). Each ROUND runs every query once, per-query time
     // is the minimum across rounds — interleaving decorrelates bursts from
     // any one query, and the min approximates the uncontended time.
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val rounds = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_ROUNDS").flatMap(_.toIntOption).getOrElse(3))
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val best = scala.collection.mutable.Map[String, Double]()
     val failedSet = scala.collection.mutable.Set[String]()
-    for (_ <- 1 to rounds; (name, fn) <- names) {
-      val t0 = System.nanoTime()
-      // noop sink: forces full column evaluation (count() would be pruned);
-      // a query that throws reports -1 so a regression never reads as a speedup
-      try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        val sec = (System.nanoTime() - t0) / 1e9
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
-      } catch { case e: Throwable =>
-        System.err.println(s"BENCH FAIL $name: $e"); failedSet += name
+    // the headline valuation pipelines join the same per-round interleave
+    // so one sustained co-tenant burst cannot skew all their samples either
+    var rows = 0L
+    var prows = 0L
+    val valSecs = Seq.newBuilder[Double]
+    val packSecs = Seq.newBuilder[Double]
+    for (_ <- 1 to rounds) {
+      for ((name, fn) <- names) {
+        val t0 = System.nanoTime()
+        // noop sink: forces full column evaluation (count() would be pruned);
+        // a query that throws reports -1 so a regression never reads as a speedup
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+        } catch { case e: Throwable =>
+          System.err.println(s"BENCH FAIL $name: $e"); failedSet += name
+        }
       }
+      val v = valuationPipeline(spark, sfDir)
+      rows = v._1; valSecs += v._2
+      val p = valuationPipelinePacked(spark,
+        SynActions.fromEvents(Tables.events(spark, sfDir)))
+      prows = p._1; packSecs += p._2
     }
     val results = names.map { case (name, _) =>
       (name, if (failedSet(name) || !best.contains(name)) -1.0 else best(name))
     }
-    val valuations = (1 to rounds).map(_ => valuationPipeline(spark, sfDir))
-    val rows = valuations.head._1
-    val pipeSec = valuations.map(_._2).min
+    val pipeSec = valSecs.result().min
     val throughput = rows / pipeSec
-    val packedRuns = (1 to rounds).map(_ => valuationPipelinePacked(spark,
-      SynActions.fromEvents(Tables.events(spark, sfDir))))
-    val prows = packedRuns.head._1
-    val ppipeSec = packedRuns.map(_._2).min
+    val ppipeSec = packSecs.result().min
     val pthroughput = prows / ppipeSec
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -16,27 +16,28 @@ object DedupQueries {
 
   private val toksSql = """string_split_regex(trim(text), '\s+')"""
 
-  /** Augmented corpus CTE (DuckDB). */
-  private val augCte =
+  /** Augmented corpus CTE (DuckDB); carries `source` for the token-pipeline
+    * queries that share this corpus (TokenQueries). */
+  private[queries] val augCte =
     s"""WITH aug AS (
-       |  SELECT doc_id, text FROM documents
+       |  SELECT doc_id, text, source FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
+       |  SELECT doc_id + 2000000, text, source FROM documents WHERE doc_id % 7 = 0
        |  UNION ALL
        |  SELECT doc_id + 1000000,
-       |    array_to_string(($toksSql)[1:len($toksSql) - 1], ' ')
+       |    array_to_string(($toksSql)[1:len($toksSql) - 1], ' '), source
        |  FROM documents WHERE doc_id % 10 = 0
        |)""".stripMargin
 
   /** Same augmentation in Spark. */
   def augmented(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val d = Tables.documents(s, dir).select("doc_id", "text", "source")
     val toks = split(trim(col("text")), "\\s+")
     val exact = d.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+      .select((col("doc_id") + 2000000).as("doc_id"), col("text"), col("source"))
     val near = d.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"),
-        concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"))
+        concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"), col("source"))
     d.unionByName(exact).unionByName(near)
   }
 

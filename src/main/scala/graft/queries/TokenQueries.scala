@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Q
 import graft.core.Tables
+import graft.streaming.StreamRun
 import graft.text.TokenPipeline
 
 /** Token-level training-data pipeline queries over the ingest-shaped
@@ -27,31 +28,82 @@ object TokenQueries {
        |  FROM $from
        |)""".stripMargin
 
-  /** Dedup-style augmentation carrying `source` through. */
-  private val augCte =
-    s"""WITH aug AS (
-       |  SELECT doc_id, text, source FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 2000000, text, source FROM documents WHERE doc_id % 7 = 0
-       |  UNION ALL
-       |  SELECT doc_id + 1000000,
-       |    array_to_string(($toksSql)[1:len($toksSql) - 1], ' '), source
-       |  FROM documents WHERE doc_id % 10 = 0
-       |)""".stripMargin
-
-  private def augmented(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select("doc_id", "text", "source")
-    val toks = split(trim(col("text")), "\\s+")
-    val exact = d.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 2000000).as("doc_id"), col("text"), col("source"))
-    val near = d.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"),
-        concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"), col("source"))
-    d.unionByName(exact).unionByName(near)
-  }
+  // the dedup-augmented corpus is shared with DedupQueries so the two
+  // pipelines can never drift apart
+  private val augCte = DedupQueries.augCte
+  private def augmented(s: SparkSession, dir: String): DataFrame =
+    DedupQueries.augmented(s, dir)
 
   private def tokenTable(s: SparkSession, dir: String): DataFrame =
     TokenPipeline.fromDocuments(Tables.documents(s, dir))
+
+  /** documents as a file-source stream (glob form: the source wants a
+    * directory basePath). */
+  private def documentsStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream.schema(Tables.documents(s, dir).schema)
+      .parquet(s"$dir/documents.parque[t]")
+
+  /** Duplicated-window CTE chain (w → h → d) mirroring
+    * TokenPipeline.dupSpans over CTE `t`: stride-1 16-token window hashes
+    * with per-corpus occurrence counts. */
+  private val dupSpanCtes =
+    """, w AS (
+      |  SELECT doc_id, unnest(generate_series(1, n_tok - 15)) AS pos, tokens
+      |  FROM t WHERE n_tok >= 16
+      |), h AS (
+      |  SELECT doc_id, pos,
+      |    ('0x' || substring(md5(array_to_string(tokens[pos:pos+15], '_')), 1, 15))::BIGINT AS win_hash
+      |  FROM w
+      |), d AS (
+      |  SELECT doc_id, pos, win_hash, count(*) OVER (PARTITION BY win_hash) AS df
+      |  FROM h
+      |)""".stripMargin
+
+  /** Concat-and-chunk packing CTE chain mirroring TokenPipeline.packChunks
+    * (C=128) over CTE `t`, ending in `chunks(source, chunk_id, ct, n_docs)`. */
+  private val packCtes =
+    """, o AS (
+      |  SELECT source, doc_id, tokens, n_tok,
+      |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |  FROM t WHERE n_tok > 0
+      |), spans AS (
+      |  SELECT source, off, tokens, n_tok,
+      |    unnest(generate_series(off // 128, (off + n_tok - 1) // 128)) AS chunk_id
+      |  FROM o
+      |), pieces AS (
+      |  SELECT source, chunk_id,
+      |    greatest(off, chunk_id * 128) AS gstart,
+      |    tokens[(greatest(off, chunk_id * 128) - off + 1):(least(off + n_tok, (chunk_id + 1) * 128) - off)] AS piece
+      |  FROM spans
+      |), ex AS (
+      |  SELECT source, chunk_id, gstart, piece,
+      |    unnest(generate_series(1, len(piece))) AS i
+      |  FROM pieces
+      |), toks AS (
+      |  SELECT source, chunk_id, gstart, gstart + i - 1 AS gpos, piece[i] AS tok FROM ex
+      |), chunks AS (
+      |  SELECT source, chunk_id, list(tok ORDER BY gpos) AS ct,
+      |    count(DISTINCT gstart) AS n_docs
+      |  FROM toks GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** Scalar chunk fingerprint over `chunks` — every token's value and
+    * position reaches the driver's hash through sum/first/last. */
+  private def packSelect(where: String = "") =
+    s"""SELECT source, chunk_id, len(ct)::INT AS n_tok,
+       |  list_sum(ct)::BIGINT AS tok_sum,
+       |  ct[1] AS first_token, ct[len(ct)] AS last_token,
+       |  n_docs::BIGINT AS n_docs
+       |FROM chunks$where""".stripMargin
+
+  /** Spark twin of [[packSelect]] over a packed (tokens, …) frame. */
+  private def chunkFingerprint(packed: DataFrame): DataFrame =
+    packed.select(col("source"), col("chunk_id"), col("n_tok"),
+      aggregate(col("tokens"), lit(0L), (acc, x) => acc + x).as("tok_sum"),
+      element_at(col("tokens"), 1).as("first_token"),
+      element_at(col("tokens"), -1).as("last_token"),
+      col("n_docs"))
 
   val all: Seq[Q] = Seq(
 
@@ -79,17 +131,7 @@ object TokenQueries {
     // Lee et al. span-cut input): every occurrence of a window whose hash
     // appears ≥2 times, with its per-corpus frequency.
     Q("tokens_dup_spans",
-      s"""$augCte, ${tokensCte("aug")}, w AS (
-         |  SELECT doc_id, unnest(generate_series(1, n_tok - 15)) AS pos, tokens
-         |  FROM t WHERE n_tok >= 16
-         |), h AS (
-         |  SELECT doc_id, pos,
-         |    ('0x' || substring(md5(array_to_string(tokens[pos:pos+15], '_')), 1, 15))::BIGINT AS win_hash
-         |  FROM w
-         |), d AS (
-         |  SELECT doc_id, pos, win_hash, count(*) OVER (PARTITION BY win_hash) AS df
-         |  FROM h
-         |)
+      s"""$augCte, ${tokensCte("aug")}$dupSpanCtes
          |SELECT doc_id, pos, win_hash, df FROM d WHERE df >= 2""".stripMargin) { (s, dir) =>
       TokenPipeline.dupSpans(TokenPipeline.fromDocuments(augmented(s, dir)), w = 16)
     },
@@ -99,17 +141,8 @@ object TokenQueries {
     // globally-first occurrence lies elsewhere. Keeper = min
     // (doc_id::BIGINT, pos) per window hash; overlapping cuts union.
     Q("tokens_span_cut",
-      s"""$augCte, ${tokensCte("aug")}, w AS (
-         |  SELECT doc_id, unnest(generate_series(1, n_tok - 15)) AS pos, tokens
-         |  FROM t WHERE n_tok >= 16
-         |), h AS (
-         |  SELECT doc_id, pos,
-         |    ('0x' || substring(md5(array_to_string(tokens[pos:pos+15], '_')), 1, 15))::BIGINT AS win_hash
-         |  FROM w
-         |), d AS (
-         |  SELECT doc_id, pos, win_hash, count(*) OVER (PARTITION BY win_hash) AS df
-         |  FROM h
-         |), rk AS (
+      s"""$augCte, ${tokensCte("aug")}$dupSpanCtes
+         |, rk AS (
          |  SELECT doc_id, pos,
          |    row_number() OVER (PARTITION BY win_hash ORDER BY CAST(doc_id AS BIGINT), pos) AS rn
          |  FROM d WHERE df >= 2
@@ -129,42 +162,9 @@ object TokenQueries {
     // columns (sum/first/last) stand in for the array payload so the
     // driver's scalar hash-compare sees every token's value and position.
     Q("tokens_pack_chunks",
-      s"""WITH ${tokensCte("documents")}, o AS (
-         |  SELECT source, doc_id, tokens, n_tok,
-         |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
-         |  FROM t WHERE n_tok > 0
-         |), spans AS (
-         |  SELECT source, off, tokens, n_tok,
-         |    unnest(generate_series(off // 128, (off + n_tok - 1) // 128)) AS chunk_id
-         |  FROM o
-         |), pieces AS (
-         |  SELECT source, chunk_id,
-         |    greatest(off, chunk_id * 128) AS gstart,
-         |    tokens[(greatest(off, chunk_id * 128) - off + 1):(least(off + n_tok, (chunk_id + 1) * 128) - off)] AS piece
-         |  FROM spans
-         |), ex AS (
-         |  SELECT source, chunk_id, gstart, piece,
-         |    unnest(generate_series(1, len(piece))) AS i
-         |  FROM pieces
-         |), toks AS (
-         |  SELECT source, chunk_id, gstart, gstart + i - 1 AS gpos, piece[i] AS tok FROM ex
-         |), chunks AS (
-         |  SELECT source, chunk_id, list(tok ORDER BY gpos) AS ct,
-         |    count(DISTINCT gstart) AS n_docs
-         |  FROM toks GROUP BY 1, 2
-         |)
-         |SELECT source, chunk_id, len(ct)::INT AS n_tok,
-         |  list_sum(ct)::BIGINT AS tok_sum,
-         |  ct[1] AS first_token, ct[len(ct)] AS last_token,
-         |  n_docs::BIGINT AS n_docs
-         |FROM chunks""".stripMargin) { (s, dir) =>
-      TokenPipeline.packChunks(tokenTable(s, dir), chunkSize = 128)
-        .select(col("source"), col("chunk_id"), col("n_tok"),
-          aggregate(col("tokens"), lit(0L), (acc, x) => acc + x).as("tok_sum"),
-          element_at(col("tokens"), 1).as("first_token"),
-          element_at(col("tokens"), -1).as("last_token"),
-          col("n_docs"))
+      s"""WITH ${tokensCte("documents")}$packCtes
+         |${packSelect()}""".stripMargin) { (s, dir) =>
+      chunkFingerprint(TokenPipeline.packChunks(tokenTable(s, dir), chunkSize = 128))
     },
 
     // Deterministic stratified subsample: k docs per source in
@@ -232,25 +232,10 @@ object TokenQueries {
          |  SELECT unnest(tokens) AS token FROM t
          |)
          |SELECT token, count(*) AS tf FROM ex GROUP BY token""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.streaming.Trigger
-      val schema = Tables.documents(s, dir).schema
-      // glob form: the file source needs a directory basePath
-      val stream = s.readStream.schema(schema).parquet(s"$dir/documents.parque[t]")
-      val agg = TokenPipeline.fromDocuments(stream)
+      val agg = TokenPipeline.fromDocuments(documentsStream(s, dir))
         .select(explode(col("tokens")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("tf"))
-      val out = java.nio.file.Files.createTempDirectory("graft_vocab_sink").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_vocab_ckpt").toString
-      val q = agg.writeStream
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          b.write.mode("overwrite").parquet(out)
-        }
-        .option("checkpointLocation", ckpt)
-        .start()
-      q.awaitTermination()
-      s.read.parquet(out)
+      StreamRun.availableNow(agg, complete = true)
     },
 
     // Streaming ingest dedup gate: exact dedup as a stateful streaming
@@ -261,22 +246,8 @@ object TokenQueries {
     // which duplicate arrives first.
     Q("stream_dedup_exact",
       """SELECT DISTINCT md5(text) AS content_hash FROM documents""") { (s, dir) =>
-      import org.apache.spark.sql.streaming.Trigger
-      val schema = Tables.documents(s, dir).schema
-      val stream = s.readStream.schema(schema).parquet(s"$dir/documents.parque[t]")
-      val distinctHashes = stream.select(md5(col("text")).as("content_hash")).dropDuplicates()
-      val out = java.nio.file.Files.createTempDirectory("graft_dedup_sink").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt").toString
-      val q = distinctHashes.writeStream
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          b.write.mode("append").parquet(out)
-        }
-        .option("checkpointLocation", ckpt)
-        .start()
-      q.awaitTermination()
-      s.read.parquet(out)
+      StreamRun.availableNow(documentsStream(s, dir)
+        .select(md5(col("text")).as("content_hash")).dropDuplicates())
     },
 
     // Stateful streaming packer (streaming/StreamingPacker.scala): docs
@@ -286,60 +257,13 @@ object TokenQueries {
     // (the tail stays buffered in state — a packer that emitted partial
     // examples would break the fixed-shape training contract).
     Q("stream_pack_chunks",
-      s"""WITH ${tokensCte("documents")}, o AS (
-         |  SELECT source, doc_id, tokens, n_tok,
-         |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
-         |  FROM t WHERE n_tok > 0
-         |), spans AS (
-         |  SELECT source, off, tokens, n_tok,
-         |    unnest(generate_series(off // 128, (off + n_tok - 1) // 128)) AS chunk_id
-         |  FROM o
-         |), pieces AS (
-         |  SELECT source, chunk_id,
-         |    greatest(off, chunk_id * 128) AS gstart,
-         |    tokens[(greatest(off, chunk_id * 128) - off + 1):(least(off + n_tok, (chunk_id + 1) * 128) - off)] AS piece
-         |  FROM spans
-         |), ex AS (
-         |  SELECT source, chunk_id, gstart, piece,
-         |    unnest(generate_series(1, len(piece))) AS i
-         |  FROM pieces
-         |), toks AS (
-         |  SELECT source, chunk_id, gstart, gstart + i - 1 AS gpos, piece[i] AS tok FROM ex
-         |), chunks AS (
-         |  SELECT source, chunk_id, list(tok ORDER BY gpos) AS ct,
-         |    count(DISTINCT gstart) AS n_docs
-         |  FROM toks GROUP BY 1, 2
-         |)
-         |SELECT source, chunk_id, len(ct)::INT AS n_tok,
-         |  list_sum(ct)::BIGINT AS tok_sum,
-         |  ct[1] AS first_token, ct[len(ct)] AS last_token,
-         |  n_docs::BIGINT AS n_docs
-         |FROM chunks WHERE len(ct) = 128""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.streaming.Trigger
+      s"""WITH ${tokensCte("documents")}$packCtes
+         |${packSelect(" WHERE len(ct) = 128")}""".stripMargin) { (s, dir) =>
       import graft.streaming.StreamingPacker
       import s.implicits._
-      val schema = Tables.documents(s, dir).schema
-      val stream = s.readStream.schema(schema).parquet(s"$dir/documents.parque[t]")
       val packed = StreamingPacker.pack(
-        TokenPipeline.fromDocuments(stream).as[StreamingPacker.TokenDoc],
+        TokenPipeline.fromDocuments(documentsStream(s, dir)).as[StreamingPacker.TokenDoc],
         chunkSize = 128)
-      val out = java.nio.file.Files.createTempDirectory("graft_pack_sink").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_pack_ckpt").toString
-      val q = packed.toDF().writeStream
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          b.write.mode("append").parquet(out)
-        }
-        .option("checkpointLocation", ckpt)
-        .start()
-      q.awaitTermination()
-      s.read.parquet(out)
-        .select(col("source"), col("chunk_id"), col("n_tok"),
-          aggregate(col("tokens"), lit(0L), (acc, x) => acc + x).as("tok_sum"),
-          element_at(col("tokens"), 1).as("first_token"),
-          element_at(col("tokens"), -1).as("last_token"),
-          col("n_docs"))
+      chunkFingerprint(StreamRun.availableNow(packed.toDF()))
     })
 }

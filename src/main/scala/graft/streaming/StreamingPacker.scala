@@ -13,12 +13,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * fixed-shape training contract).
   *
   * Determinism contract: within a micro-batch the group's docs are packed
-  * in doc_id order; across micro-batches the source must deliver doc_ids
-  * monotonically (ingest order — what a file/Iceberg append source
-  * provides). Under that contract the emitted chunks are byte-identical
-  * to the batch packer's full chunks for the same corpus — asserted in
-  * StreamingPackerSpec for multi-batch arrivals, and oracle-checked
-  * end-to-end by the `stream_pack_chunks` driver query.
+  * in LEXICOGRAPHIC doc_id order (the same String ordering the batch
+  * packer and its oracle use); across micro-batches the source must
+  * deliver doc_ids lexicographically monotonically — what a file/Iceberg
+  * append source provides when ingest names sort with arrival, i.e.
+  * zero-padded or fixed-width ids. Unpadded numeric ids split across
+  * micro-batches ("999" then "1000") would violate the contract and
+  * diverge from the batch packer — pad at ingest, exactly as batch
+  * re-runs over the same table already require. Under the contract the
+  * emitted chunks are byte-identical to the batch packer's full chunks
+  * for the same corpus — asserted in StreamingPackerSpec for multi-batch
+  * arrivals, and oracle-checked end-to-end by the `stream_pack_chunks`
+  * driver query (single AvailableNow batch, so arrival order is
+  * irrelevant there).
   *
   * State is O(chunkSize + one doc) per source; emission is linear in
   * tokens. At cluster scale sources shard the state across executors and
