@@ -44,6 +44,26 @@ class AsofJoinSpec extends SparkSpec {
       Seq("p0", "p1", "p2", "q1", "r1"))
   }
 
+  test("matches the naive join-then-argmax formulation on a pseudo-random dataset") {
+    val l = (0 until 400).map(i =>
+      ((i * 13L) % 7, (i * 7919L) % 500, i.toLong)).toDF("k", "ts", "lid")
+    val r = (0 until 300).map(i =>
+      ((i * 17L) % 7, (i * 104729L) % 500, 1000L + i)).toDF("k", "ts", "rid")
+      .groupBy("k", "ts").agg(max("rid").as("rid")) // unique per (k, ts)
+    val fast = AsofJoin.backward(l, r, "k", "ts", Seq("rid"))
+      .select("k", "ts", "lid", "rid")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3))).toSet
+    // naive: range join + max-ts argmax per left row
+    val naive = l.as("l").join(r.as("r"),
+        col("l.k") === col("r.k") && col("r.ts") <= col("l.ts"), "left")
+      .groupBy(col("l.k"), col("l.ts"), col("l.lid"))
+      .agg(max_by(col("r.rid"), col("r.ts")).as("rid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3))).toSet
+    assert(fast == naive)
+  }
+
   test("plan has a single shuffle and no join node") {
     val plan = AsofJoin.backward(left, right, "k", "ts", Seq("rid"))
       .queryExecution.executedPlan.toString

@@ -33,6 +33,31 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(cc == Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
   }
 
+  test("matches a union-find oracle on a deterministic pseudo-random graph") {
+    // 300 edges over 200 vertices from a fixed LCG — mixes cliques,
+    // chains, and singleton-free isolated pairs
+    val edges = (0 until 300).map { i =>
+      val a = (i * 7919L + 13) % 200
+      val b = (i * 104729L + 7) % 200
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val cc = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    // driver-side union-find oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> find(v)).toMap
+    assert(cc == expected)
+  }
+
   test("duplicateClusters: cluster id is min doc_id, size counts members") {
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
     val out = Dedup.duplicateClusters(edges)
