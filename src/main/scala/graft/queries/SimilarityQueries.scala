@@ -38,7 +38,7 @@ object SimilarityQueries {
     * subquery) agree exactly, including at power-of-two boundaries. */
   private def planesCte(corpus: String): String =
     s"""np AS (
-       |  SELECT CAST(min(p) AS INT) AS npl
+       |  SELECT CAST(coalesce(min(p), $MaxOraclePlanes) AS INT) AS npl
        |  FROM (SELECT unnest(range(${Similarity.PairGenMinPlanes}, $MaxOraclePlanes + 1)) AS p)
        |  WHERE (SELECT count(*) FROM $corpus) <= ${Similarity.PairGenOccupancy} * (1::BIGINT << p)
        |)""".stripMargin
@@ -96,8 +96,11 @@ object SimilarityQueries {
       val aug = base.unionByName(dups)
       // corpus-sized signature (planesFor): one cheap driver count — the
       // standard index-build pattern — then a fixed-width bucket expression
-      val planes = Similarity.planesFor(aug.count(),
-        Similarity.PairGenOccupancy, Similarity.PairGenMinPlanes)
+      // clamped to the oracle's expansion width: beyond MaxOraclePlanes the
+      // CTE's scalar would go NULL and bucket everything to 0 (all-pairs
+      // blow-up) while Spark kept sharding — fail-safe to the common width
+      val planes = math.min(MaxOraclePlanes, Similarity.planesFor(aug.count(),
+        Similarity.PairGenOccupancy, Similarity.PairGenMinPlanes))
       val e = aug.select(col("vec_id"), col("embedding"),
         Similarity.lshBucket(col("embedding"), planes).as("bucket"))
       e.as("a").join(e.as("b"),
@@ -130,8 +133,8 @@ object SimilarityQueries {
          |  FROM scored
          |) WHERE rk <= 10""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val planes = Similarity.planesFor(emb.count(),
-        Similarity.PairGenOccupancy, Similarity.PairGenMinPlanes)
+      val planes = math.min(MaxOraclePlanes, Similarity.planesFor(emb.count(),
+        Similarity.PairGenOccupancy, Similarity.PairGenMinPlanes))
       Similarity.lshTopK(emb, queriesDf(s, dir), 10, planes)
     })
 }

@@ -26,28 +26,20 @@ object StreamingQueries {
     * EpochBase + ⌊time_seconds·1e6⌋ micros — both engines compute the same
     * two double ops then floor, so the micros agree exactly. */
   private def timedActions(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).select(
-      (col("event_id") % SynActions.NumGames).as("game_id"),
-      (col("user_id") % 4).as("team_id"),
-      col("user_id").as("player_id"),
-      (col("event_id") % 23).cast("int").as("type_id"),
-      (col("event_id") * 5 % 6).cast("int").as("result_id"),
-      col("event_id").as("seq"),
+    // derived from the ONE canonical synthetic projection (projectEvents) so
+    // the generator formulas cannot drift: et = base + ⌊time_seconds·1e6⌋
+    // runs the identical double chain ((us−base)/1e9)·1e6 on both sides
+    SynActions.projectEvents(Tables.events(s, dir)).select(
+      col("game_id"), col("team_id"), col("player_id"),
+      col("type_id"), col("result_id"), col("seq"),
       timestamp_micros(lit(SynActions.EpochBaseMicros) +
-        floor((unix_micros(col("ts").cast("timestamp")) - SynActions.EpochBaseMicros)
-          / lit(1000000000.0) * lit(1000000.0))).as("event_time"))
+        floor(col("time_seconds") * lit(1000000.0))).as("event_time"))
 
   private val timedCte =
-    s"""WITH timed AS (
-       |  SELECT event_id % ${SynActions.NumGames} AS game_id,
-       |    user_id % 4 AS team_id,
-       |    user_id AS player_id,
-       |    CAST(event_id % 23 AS INT) AS type_id,
-       |    CAST(event_id * 5 % 6 AS INT) AS result_id,
-       |    event_id AS seq,
-       |    ${SynActions.EpochBaseMicros} + CAST(floor((epoch_us(ts) - ${SynActions.EpochBaseMicros})
-       |      / 1000000000.0 * 1000000.0) AS BIGINT) AS et_us
-       |  FROM events
+    s"""$OracleCte, timed AS (
+       |  SELECT game_id, team_id, player_id, type_id, result_id, seq,
+       |    ${SynActions.EpochBaseMicros} + CAST(floor(time_seconds * 1000000.0) AS BIGINT) AS et_us
+       |  FROM actions0
        |)""".stripMargin
 
   /** clearances → dribbles → dense ids → k=10 labels, over CTE `in`. */
@@ -198,8 +190,10 @@ object StreamingQueries {
       // path fails with "basePath must be a directory")
       val stream = s.readStream.schema(schema).parquet(s"$dir/events.parque[t]")
       val acts = SynActions.projectEvents(stream)
-      val out = java.nio.file.Files.createTempDirectory("graft_rated_sink").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_rated_ckpt").toString
+      // session-rooted temp dirs: cleaned at JVM exit, so repeated Verify /
+      // min-of-N Bench invocations don't accumulate orphan sink+checkpoint data
+      val out = graft.streaming.StreamRun.tempDir("rated_sink")
+      val ckpt = graft.streaming.StreamRun.tempDir("rated_ckpt")
       val q = WindowedStats.ratedSink(acts, ref,
           b => b.select(col("seq"), col("xt_value")).write.mode("append").parquet(out))
         .option("checkpointLocation", ckpt)

@@ -223,47 +223,111 @@ final class OptaLoader(spark: SparkSession, root: String,
       .select(col("t.id").cast("long").as("team_id"),
         col("t.nameObj.name").as("team_name"))
 
+  // ---- shared F9/F7 lineup-minutes machinery --------------------------
+  // Optional feed elements (a whole Substitution/Booking list, or single
+  // attributes like Retired) are OMITTED from real files when absent, so
+  // the inferred schema of a normal match must not fail at analysis time:
+  // members resolve defensively against the actual schema — absent array →
+  // typed empty, single element inferred as a bare struct → wrapped,
+  // absent attribute → NULL (the coalesce chains fall through).
+
+  private def memberType(parent: org.apache.spark.sql.types.StructType,
+      name: String): Option[org.apache.spark.sql.types.DataType] =
+    parent.find(_.name == name).map(_.dataType)
+
+  private def memberStruct(parent: org.apache.spark.sql.types.StructType,
+      name: String): Option[org.apache.spark.sql.types.StructType] =
+    memberType(parent, name).flatMap {
+      case org.apache.spark.sql.types.ArrayType(st: org.apache.spark.sql.types.StructType, _) => Some(st)
+      case st: org.apache.spark.sql.types.StructType => Some(st)
+      case _ => None
+    }
+
+  private def optArr(parent: org.apache.spark.sql.types.StructType,
+      prefix: String, name: String, ddl: String): Column =
+    memberType(parent, name) match {
+      case Some(_: org.apache.spark.sql.types.ArrayType) => col(s"$prefix.$name")
+      case Some(_) => array(col(s"$prefix.$name"))
+      case None => lit(null).cast(s"array<$ddl>")
+    }
+
+  /** A nested member as an array column, wrapping the bare struct a
+    * single XML/JSON element infers to. For required members (no DDL
+    * fallback — absence should still fail loudly). */
+  private def pathAsArray(df: DataFrame, path: String): Column =
+    scala.util.Try(df.select(col(path)).schema.head.dataType).toOption match {
+      case Some(_: org.apache.spark.sql.types.ArrayType) => col(path)
+      case _ => array(col(path))
+    }
+
+  /** sub_on/sub_off/red-card minutes rule shared by the F9 JSON and F7 XML
+    * paths (`f9_json.py:176-266`, `f7_xml.py:142-210`): per player,
+    * sub_on = their first non-Retired SubOn entry (else match_time for an
+    * unused Sub, 0 for a starter), sub_off = their first SubOff entry
+    * (else the red-card minute, else match_time); minutes = sub_off −
+    * sub_on. `sAttr`/`bAttr` abstract the feed's attribute access (F9
+    * '@attributes' bags vs F7 '_'-prefixed XML attributes). */
+  private def subMinutes(subs: Column, sAttr: (Column, String) => Column,
+      bookings: Column, bAttr: (Column, String) => Column,
+      pref: Column, status: Column, matchTime: Column): Column = {
+    val subOn = coalesce(
+      sAttr(get(filter(subs,
+        s => sAttr(s, "Retired").isNull && sAttr(s, "SubOn") === pref), lit(0)), "Time")
+        .cast("long"),
+      when(status === "Sub", matchTime).otherwise(0L))
+    val redTime = bAttr(get(filter(bookings,
+        b => bAttr(b, "CardType").isin("Red", "SecondYellow") &&
+          bAttr(b, "PlayerRef") === pref), lit(0)), "Time")
+      .cast("long")
+    val subOff = coalesce(
+      sAttr(get(filter(subs, s => sAttr(s, "SubOff") === pref), lit(0)), "Time")
+        .cast("long"),
+      redTime, matchTime)
+    subOff - subOn
+  }
+
+  private val F9SubsDdl =
+    "struct<`@attributes`:struct<Retired:string,SubOn:string,SubOff:string,Time:string>>"
+  private val F9BookDdl =
+    "struct<`@attributes`:struct<CardType:string,PlayerRef:string,Time:string>>"
+
+  /** '@attributes'-bag accessor that degrades to NULL when the inferred
+    * element schema lacks the attribute (or the whole bag). */
+  private def bagAttr(elem: Option[org.apache.spark.sql.types.StructType])
+      : (Column, String) => Column = {
+    val inner: Set[String] = elem.flatMap(memberStruct(_, "@attributes"))
+      .map(_.fieldNames.toSet).getOrElse(Set.empty)
+    (c, f) =>
+      if (elem.isEmpty || inner(f)) c.getField("@attributes").getField(f)
+      else lit(null).cast("string")
+  }
+
   /** Lineups with the substitution-minutes algebra from the F9 result feed
-    * (`f9_json.py:176-266`): per player, sub_on = their first non-Retired
-    * SubOn entry (else match_time for an unused Sub, 0 for a starter),
-    * sub_off = their first SubOff entry (else the red-card minute, else
-    * match_time); minutes = sub_off − sub_on. All per-row higher-order
-    * functions over the per-team Substitution/Booking arrays — map-only,
-    * every game one row-group, no shuffle. */
+    * ([[subMinutes]]) — map-only, every game one row-group, no shuffle. */
   def f9Lineups(gameId: String): DataFrame = {
     val d = f9Doc(gameId)
-    val exploded = d.select(
+    val base = d.select(
         stripU(col("d.`@attributes`.uID")).as("game_id"),
         statOf(col("d.MatchData.Stat"), "match_time").cast("long").as("match_time"),
         explode(col("d.MatchData.TeamData")).as("td"))
-      .select(col("game_id"), col("match_time"),
+    val tdType = base.schema("td").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val exploded = base.select(col("game_id"), col("match_time"),
         stripU(col("td.`@attributes`.TeamRef")).as("team_id"),
-        col("td.Substitution").as("subs"),
-        col("td.Booking").as("bookings"),
+        optArr(tdType, "td", "Substitution", F9SubsDdl).as("subs"),
+        optArr(tdType, "td", "Booking", F9BookDdl).as("bookings"),
         explode(col("td.PlayerLineUp.MatchPlayer")).as("p"))
-    def sattr(s: Column, f: String): Column = s.getField("@attributes").getField(f)
+    val sAttr = bagAttr(memberStruct(tdType, "Substitution"))
+    val bAttr = bagAttr(memberStruct(tdType, "Booking"))
     val pref = col("p.`@attributes`.PlayerRef")
     val status = col("p.`@attributes`.Status")
-    val subOn = coalesce(
-      get(filter(col("subs"),
-        s => sattr(s, "Retired").isNull && sattr(s, "SubOn") === pref), lit(0))
-        .getField("@attributes").getField("Time").cast("long"),
-      when(status === "Sub", col("match_time")).otherwise(0L))
-    val redTime = get(filter(col("bookings"),
-        b => sattr(b, "CardType").isin("Red", "SecondYellow") &&
-          sattr(b, "PlayerRef") === pref), lit(0))
-      .getField("@attributes").getField("Time").cast("long")
-    val subOff = coalesce(
-      get(filter(col("subs"), s => sattr(s, "SubOff") === pref), lit(0))
-        .getField("@attributes").getField("Time").cast("long"),
-      redTime, col("match_time"))
     exploded.select(
       col("game_id"), col("team_id"),
       stripU(pref).as("player_id"),
       col("p.`@attributes`.ShirtNumber").cast("long").as("jersey_number"),
       col("p.`@attributes`.Position").as("starting_position"),
       (status === "Start").as("is_starter"),
-      (subOff - subOn).as("minutes_played"))
+      subMinutes(col("subs"), sAttr, col("bookings"), bAttr,
+        pref, status, col("match_time")).as("minutes_played"))
   }
 
   // ---- F7 XML feed (`parsers/f7_xml.py`) ------------------------------
@@ -303,45 +367,53 @@ final class OptaLoader(spark: SparkSession, root: String,
       .select(explode(col("Team")).as("t"))
       .select(stripU(col("t._uID")).as("team_id"), col("t.Name").as("team_name"))
 
-  /** Lineups with the substitution-minutes algebra from the F7 XML feed
-    * (`f7_xml.py:142-210`): identical sub_on/sub_off/red-card rules to the
-    * F9 path over the XML-attributed Substitution/Booking elements. */
+  private val F7SubsDdl =
+    "struct<_Retired:string,_SubOn:string,_SubOff:string,_Time:string>"
+  private val F7BookDdl =
+    "struct<_CardType:string,_PlayerRef:string,_Time:string>"
+
+  /** '_'-prefixed XML-attribute accessor that degrades to NULL when the
+    * inferred element schema lacks the attribute. */
+  private def xmlAttr(elem: Option[org.apache.spark.sql.types.StructType])
+      : (Column, String) => Column = {
+    val fields: Set[String] = elem.map(_.fieldNames.toSet).getOrElse(Set.empty)
+    (c, f) =>
+      if (elem.isEmpty || fields("_" + f)) c.getField("_" + f)
+      else lit(null).cast("string")
+  }
+
+  /** Lineups with the substitution-minutes algebra from the F7 XML feed —
+    * identical rules to the F9 path ([[subMinutes]]) over the
+    * XML-attributed Substitution/Booking elements. */
   def f7Lineups(gameId: String): DataFrame = {
     def statOfX(stats: Column, name: String): Column =
       element_at(filter(stats, st => st.getField("_Type") === name), 1)
         .getField("_VALUE")
-    val exploded = f7Doc(gameId)
+    val doc = f7Doc(gameId)
+    val base = doc
       .select(stripU(col("_uID")).as("game_id"),
-        statOfX(col("MatchData.Stat"), "match_time").cast("long").as("match_time"),
-        explode(col("MatchData.TeamData")).as("td"))
-      .select(col("game_id"), col("match_time"),
+        statOfX(pathAsArray(doc, "MatchData.Stat"), "match_time")
+          .cast("long").as("match_time"),
+        explode(pathAsArray(doc, "MatchData.TeamData")).as("td"))
+    val tdType = base.schema("td").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val exploded = base.select(col("game_id"), col("match_time"),
         stripU(col("td._TeamRef")).as("team_id"),
         col("td._Formation").cast("string").as("formation"),
         col("td._Side").as("side"),
-        col("td.Substitution").as("subs"),
-        col("td.Booking").as("bookings"),
+        optArr(tdType, "td", "Substitution", F7SubsDdl).as("subs"),
+        optArr(tdType, "td", "Booking", F7BookDdl).as("bookings"),
         explode(col("td.PlayerLineUp.MatchPlayer")).as("p"))
+    val sAttr = xmlAttr(memberStruct(tdType, "Substitution"))
+    val bAttr = xmlAttr(memberStruct(tdType, "Booking"))
     val pref = col("p._PlayerRef")
     val status = col("p._Status")
-    val subOn = coalesce(
-      get(filter(col("subs"),
-        s => s.getField("_Retired").isNull && s.getField("_SubOn") === pref), lit(0))
-        .getField("_Time").cast("long"),
-      when(status === "Sub", col("match_time")).otherwise(0L))
-    val redTime = get(filter(col("bookings"),
-        b => b.getField("_CardType").isin("Red", "SecondYellow") &&
-          b.getField("_PlayerRef") === pref), lit(0))
-      .getField("_Time").cast("long")
-    val subOff = coalesce(
-      get(filter(col("subs"), s => s.getField("_SubOff") === pref), lit(0))
-        .getField("_Time").cast("long"),
-      redTime, col("match_time"))
     exploded.select(col("game_id"), col("team_id"), col("formation"), col("side"),
       stripU(pref).as("player_id"),
       col("p._Position").as("position"),
       col("p._ShirtNumber").cast("long").as("jersey_number"),
       (status === "Start").as("is_starter"),
-      (subOff - subOn).as("minutes_played"))
+      subMinutes(col("subs"), sAttr, col("bookings"), bAttr,
+        pref, status, col("match_time")).as("minutes_played"))
   }
 
   // ---- WhoScored matchCentreData feed (`parsers/whoscored.py`) --------

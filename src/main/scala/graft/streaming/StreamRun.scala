@@ -24,6 +24,11 @@ object StreamRun {
     f.delete(); ()
   }
 
+  /** A temp directory under the session root (deleted at JVM exit) — for
+    * streaming queries that need a custom sink instead of [[availableNow]]. */
+  def tempDir(prefix: String): String =
+    Files.createTempDirectory(root, prefix).toString
+
   /** Runs `df` (a streaming DataFrame) to completion and returns the
     * materialized result. `complete = true` uses complete output mode with
     * an overwrite-per-micro-batch snapshot sink (streaming aggregations);

@@ -141,6 +141,25 @@ class FeedLoaderSpec extends SparkSpec {
     assert(l(201L).getAs[Long]("minutes_played") == 94)
   }
 
+  test("opta: F9/F7 degenerate feeds — no subs/bookings/Retired, single XML sub element") {
+    // game 920: the F9 file has NO Substitution/Booking members at all and
+    // no Retired attribute anywhere — the inferred schema lacks them, and
+    // the loader must degrade to NULL, not fail at analysis
+    val f9 = opta.f9Lineups("920").collect()
+      .map(r => r.getAs[Long]("player_id") -> r).toMap
+    assert(f9(101L).getAs[Long]("minutes_played") == 90) // starter, full match
+    assert(f9(104L).getAs[Long]("minutes_played") == 0)  // unused sub: on = match_time
+    assert(f9(201L).getAs[Long]("minutes_played") == 90)
+    // the F7 file has exactly ONE <Substitution> (inferred as a bare
+    // struct, not an array) on one side, none on the other, and no
+    // <Booking> — wrap/empty handling must still run the full algebra
+    val f7 = opta.f7Lineups("920").collect()
+      .map(r => r.getAs[Long]("player_id") -> r).toMap
+    assert(f7(101L).getAs[Long]("minutes_played") == 60) // subbed off 60'
+    assert(f7(104L).getAs[Long]("minutes_played") == 30) // on 60', match_time 90
+    assert(f7(201L).getAs[Long]("minutes_played") == 90)
+  }
+
   test("opta: WhoScored player game stats (expanded-minutes algebra)") {
     val p = opta.wsPlayerGameStats("555").collect()
       .map(r => r.getAs[Long]("player_id") -> r).toMap
