@@ -167,6 +167,38 @@ object TokenQueries {
       chunkFingerprint(TokenPipeline.packChunks(tokenTable(s, dir), chunkSize = 128))
     },
 
+    // CCNet-style LM quality score: per-doc mean log-likelihood under the
+    // add-one-smoothed corpus bigram model (self-scored). ln rounded to 9
+    // decimals both sides (trig rule), per-doc sum as DECIMAL(38,12) —
+    // order-independent — cast back once (scaled int < 2^53, exact).
+    Q("tokens_lm_perplexity",
+      s"""WITH ${tokensCte("documents")}, bg AS (
+         |  SELECT doc_id, tokens[i] AS a, tokens[i + 1] AS b
+         |  FROM (SELECT doc_id, tokens, unnest(generate_series(1, n_tok - 1)) AS i
+         |        FROM t WHERE n_tok >= 2)
+         |), cab AS (
+         |  SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b
+         |), ca AS (
+         |  SELECT a, count(*) AS c_a FROM bg GROUP BY a
+         |), v AS (
+         |  SELECT count(DISTINCT tok) AS vs FROM (SELECT unnest(tokens) AS tok FROM t)
+         |), scored AS (
+         |  SELECT bg.doc_id,
+         |    CAST(round(ln((coalesce(cab.c_ab, 0) + 1)::DOUBLE /
+         |      (coalesce(ca.c_a, 0) + v.vs)::DOUBLE), 9) AS DECIMAL(38,12)) AS lp
+         |  FROM bg
+         |  LEFT JOIN cab ON bg.a = cab.a AND bg.b = cab.b
+         |  LEFT JOIN ca ON bg.a = ca.a
+         |  CROSS JOIN v
+         |)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(lp) AS DOUBLE) AS sum_logp,
+         |  CAST(sum(lp) AS DOUBLE) / count(*) AS avg_logp
+         |FROM scored GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val t = tokenTable(s, dir)
+      TokenPipeline.lmScore(t, t)
+    },
+
     // Deterministic stratified subsample: k docs per source in
     // content-hash order (source balancing / data mixing without a random
     // state to reproduce). One window shuffle on source.

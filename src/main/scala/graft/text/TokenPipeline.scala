@@ -102,6 +102,43 @@ object TokenPipeline {
         (col("n_tok") - coalesce(col("n_cut"), lit(0L))).as("n_kept"))
   }
 
+  /** CCNet-style language-model quality score: per-doc mean log-likelihood
+    * under an add-one-smoothed corpus bigram model,
+    * p(b|a) = (c(a,b)+1) / (c(a)+V). Per-bigram logs are rounded to 9
+    * decimals (JVM/DuckDB `ln` may differ in the last ulp — the trig rule)
+    * and summed as DECIMAL(38,12), so the per-doc aggregate is
+    * order-independent and engine-exact; the mean is the one final
+    * division. Shape: two count aggregations + one equi-join of the
+    * exploded doc bigrams against the model — the model tables shuffle
+    * once and at web scale are tiny next to the corpus. Self-scored here
+    * (model = scoring corpus); pass a different `model` for held-out
+    * scoring. */
+  def lmScore(tokens: DataFrame, model: DataFrame): DataFrame = {
+    val bigrams = (df: DataFrame) => df.filter(col("n_tok") >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), col("n_tok") - 1),
+        i => struct(element_at(col("tokens"), i).as("a"),
+          element_at(col("tokens"), i + 1).as("b")))).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val mb = bigrams(model)
+    val bigramCounts = mb.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val prefixCounts = mb.groupBy("a").agg(count(lit(1)).as("c_a"))
+    val vocabSize = model.select(explode(col("tokens")).as("t"))
+      .agg(countDistinct("t")).head.getLong(0)
+    // coalesce: unseen bigrams/prefixes (held-out scoring) smooth to 1/V+
+    val logp = round(log((coalesce(col("c_ab"), lit(0L)) + 1).cast("double") /
+      (coalesce(col("c_a"), lit(0L)) + vocabSize).cast("double")), 9)
+    bigrams(tokens)
+      .join(bigramCounts, Seq("a", "b"), "left")
+      .join(prefixCounts, Seq("a"), "left")
+      .select(col("doc_id"),
+        logp.cast("decimal(38,12)").as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp")).cast("double").as("sum_logp"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_logp"),
+        (col("sum_logp") / col("n_bigrams")).as("avg_logp"))
+  }
+
   /** Concat-and-chunk packing: per source, docs in doc_id order are laid
     * out on a global token axis (running-sum offset) and cut into
     * `chunkSize` chunks; a doc overlapping k chunk boundaries contributes

@@ -84,6 +84,21 @@ class TokenPipelineSpec extends SparkSpec {
     assert(full("3") == (32L, 0L))
   }
 
+  test("lmScore: add-one smoothing, self and held-out unseen bigrams") {
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val model = TokenPipeline.fromDocuments(docs(("1", "aa bb aa bb", "s")))
+    // model bigrams: (aa,bb)×2, (bb,aa)×1; prefix counts aa→2, bb→1; V=2
+    val self = TokenPipeline.lmScore(model, model)
+      .select("doc_id", "n_bigrams", "sum_logp").as[(String, Long, Double)].head()
+    val expSelf = 2 * r9(math.log(3.0 / 4.0)) + r9(math.log(2.0 / 3.0))
+    assert(self._2 == 3L && math.abs(self._3 - expSelf) < 1e-12)
+    // held-out doc with an unseen bigram (cc,aa): smooths to 1/(0+V)
+    val held = TokenPipeline.fromDocuments(docs(("2", "cc aa", "s")))
+    val h = TokenPipeline.lmScore(held, model)
+      .select("n_bigrams", "avg_logp").as[(Long, Double)].head()
+    assert(h._1 == 1L && math.abs(h._2 - r9(math.log(1.0 / 2.0))) < 1e-12)
+  }
+
   test("hashSplit is deterministic, exhaustive, and content-stable") {
     val t = TokenPipeline.fromDocuments(
       docs((1 to 200).map(i => (s"d$i", "a b", "s")): _*))
