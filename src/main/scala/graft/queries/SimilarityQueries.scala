@@ -29,8 +29,11 @@ object SimilarityQueries {
   }
 
   /** Oracle expansion cap for the corpus-sized plane count (test SFs yield
-    * 4–6 planes; anything ≤ MaxOraclePlanes mirrors exactly). */
-  private val MaxOraclePlanes = 16
+    * 4–6 planes; anything ≤ MaxOraclePlanes mirrors exactly). 40 planes
+    * covers any physical corpus (64·2^40 ≈ 7e13 vectors) — the CASE
+    * expansion grows only linearly, so the oracle width never forces the
+    * engine path back onto a coarse bucket count. */
+  private val MaxOraclePlanes = 40
 
   /** CTE computing the corpus-sized plane count — the same pure-integer
     * `smallest p with n ≤ occupancy·2^p, floored` rule as

@@ -246,9 +246,12 @@ final class OptaLoader(spark: SparkSession, root: String,
   private def optArr(parent: org.apache.spark.sql.types.StructType,
       prefix: String, name: String, ddl: String): Column =
     memberType(parent, name) match {
-      case Some(_: org.apache.spark.sql.types.ArrayType) => col(s"$prefix.$name")
-      case Some(_) => array(col(s"$prefix.$name"))
-      case None => lit(null).cast(s"array<$ddl>")
+      case Some(org.apache.spark.sql.types.ArrayType(_: org.apache.spark.sql.types.StructType, _)) =>
+        col(s"$prefix.$name")
+      case Some(_: org.apache.spark.sql.types.StructType) => array(col(s"$prefix.$name"))
+      // explicit JSON null / empty XML element infers a non-struct type —
+      // same degraded path as a missing member (accessors assume struct)
+      case _ => lit(null).cast(s"array<$ddl>")
     }
 
   /** A nested member as an array column, wrapping the bare struct a
@@ -341,22 +344,25 @@ final class OptaLoader(spark: SparkSession, root: String,
   /** Game header from the F7 XML feed (`f7_xml.py:58-119`). */
   def f7Games(gameId: String): DataFrame = {
     val d = f7Doc(gameId)
+    // single XML elements infer as bare structs — wrap every repeated
+    // member before the array ops (same shape-variance as f7Lineups)
     def side(s: String): Column =
-      element_at(filter(col("MatchData.TeamData"), t => t.getField("_Side") === s), 1)
-    def statOfX(stats: Column, name: String): Column =
-      element_at(filter(stats, st => st.getField("_Type") === name), 1)
+      element_at(filter(pathAsArray(d, "MatchData.TeamData"),
+        t => t.getField("_Side") === s), 1)
+    def statOfX(path: String, name: String): Column =
+      element_at(filter(pathAsArray(d, path), st => st.getField("_Type") === name), 1)
         .getField("_VALUE")
     d.select(
       stripU(col("_uID")).as("game_id"),
       stripU(col("Competition._uID")).as("competition_id"),
-      statOfX(col("Competition.Stat"), "season_id").cast("long").as("season_id"),
-      statOfX(col("Competition.Stat"), "matchday").cast("int").as("game_day"),
+      statOfX("Competition.Stat", "season_id").cast("long").as("season_id"),
+      statOfX("Competition.Stat", "matchday").cast("int").as("game_day"),
       to_timestamp(col("MatchData.MatchInfo.Date"), "yyyyMMdd'T'HHmmssZ").as("game_date"),
       stripU(side("Home").getField("_TeamRef")).as("home_team_id"),
       stripU(side("Away").getField("_TeamRef")).as("away_team_id"),
       side("Home").getField("_Score").cast("long").as("home_score"),
       side("Away").getField("_Score").cast("long").as("away_score"),
-      statOfX(col("MatchData.Stat"), "match_time").cast("long").as("duration"),
+      statOfX("MatchData.Stat", "match_time").cast("long").as("duration"),
       col("Venue.Name").as("venue"),
       col("MatchData.MatchInfo._Attendance").cast("long").as("attendance"))
   }

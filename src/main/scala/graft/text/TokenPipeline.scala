@@ -119,9 +119,10 @@ object TokenPipeline {
         i => struct(element_at(col("tokens"), i).as("a"),
           element_at(col("tokens"), i + 1).as("b")))).as("bg"))
       .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
-    val mb = bigrams(model)
-    val bigramCounts = mb.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-    val prefixCounts = mb.groupBy("a").agg(count(lit(1)).as("c_a"))
+    val bigramCounts = bigrams(model).groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    // c(a) = Σ_b c(a,b): derived from the reduced table, not a second
+    // full-corpus shuffle
+    val prefixCounts = bigramCounts.groupBy("a").agg(sum("c_ab").as("c_a"))
     val vocabSize = model.select(explode(col("tokens")).as("t"))
       .agg(countDistinct("t")).head.getLong(0)
     // coalesce: unseen bigrams/prefixes (held-out scoring) smooth to 1/V+

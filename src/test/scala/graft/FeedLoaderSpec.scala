@@ -158,6 +158,9 @@ class FeedLoaderSpec extends SparkSpec {
     assert(f7(101L).getAs[Long]("minutes_played") == 60) // subbed off 60'
     assert(f7(104L).getAs[Long]("minutes_played") == 30) // on 60', match_time 90
     assert(f7(201L).getAs[Long]("minutes_played") == 90)
+    // the game-header accessor survives the same single-Stat inference
+    val g = opta.f7Games("920").head()
+    assert(g.getAs[Long]("duration") == 90L && g.getAs[Long]("home_team_id") == 10L)
   }
 
   test("opta: WhoScored player game stats (expanded-minutes algebra)") {
