@@ -280,23 +280,36 @@ object Dedup {
     * inside x's component — which halves label-chain lengths, so rounds =
     * O(log diameter) even on adversarial long-chain graphs (near-dup
     * components are near-cliques and close in 2–3 rounds regardless);
-    * `maxIter` bounds the worst case. Lineage is truncated per round with
-    * an eager localCheckpoint so the plan stays O(1) deep.
+    * `maxIter` bounds the worst case, and exhausting it THROWS — an
+    * unconverged label set is not a weaker answer, it is a wrong one
+    * (labels mid-propagation split real components), so the failure must
+    * be attributable rather than silent.
+    *
+    * Fault tolerance: lineage is truncated per round with an eager
+    * checkpoint so the plan stays O(1) deep. When the SparkContext has a
+    * checkpoint directory configured (`sc.setCheckpointDir` — the cluster
+    * deployment path), rounds use RELIABLE `checkpoint()`: blocks live in
+    * the fault-tolerant store and survive executor loss mid-propagation.
+    * Without one it falls back to `localCheckpoint` (executor-block
+    * storage) — fine on local[*] where executor == driver, but a lost
+    * executor on a real cluster kills the job because the truncated
+    * lineage has no recompute path; DedupSpec exercises both modes.
     *
     * Returns (id, comp) for every vertex that appears in `edges`.
     */
   def connectedComponents(edges: DataFrame, a: String = "doc_a", b: String = "doc_b",
       maxIter: Int = 20): DataFrame = {
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def persist(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
     // materialize the symmetric edge list once — every propagation round
     // joins against it, and without this the (possibly expensive) edge
     // derivation upstream would recompute per round
-    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
+    val sym = persist(edges.select(col(a).as("src"), col(b).as("dst"))
       .union(edges.select(col(b).as("src"), col(a).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+      .distinct())
+    var labels = persist(sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -307,9 +320,8 @@ object Dedup {
       // pointer jump: comp(v) ← comp(comp(v)). comp(x) ≤ x, so the parent
       // lookup only ever lowers labels and stays within the component.
       val parent = afterMin.select(col("id").as("pid"), col("comp").as("pcomp"))
-      val next = afterMin.join(parent, afterMin("comp") === parent("pid"))
-        .select(col("id"), col("pcomp").as("comp"))
-        .localCheckpoint(true)
+      val next = persist(afterMin.join(parent, afterMin("comp") === parent("pid"))
+        .select(col("id"), col("pcomp").as("comp")))
       // converged when no label moved this round (labels only decrease,
       // so an anti-equality count of 0 is a true fixpoint)
       converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
@@ -317,6 +329,10 @@ object Dedup {
       labels = next
       i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within maxIter=$maxIter rounds — " +
+        "labels are mid-propagation and would split real components; raise maxIter " +
+        "(rounds grow O(log graph-diameter) under pointer jumping)")
     labels
   }
 

@@ -144,7 +144,7 @@ object TokenQueries {
       s"""$augCte, ${tokensCte("aug")}$dupSpanCtes
          |, rk AS (
          |  SELECT doc_id, pos,
-         |    row_number() OVER (PARTITION BY win_hash ORDER BY CAST(doc_id AS BIGINT), pos) AS rn
+         |    row_number() OVER (PARTITION BY win_hash ORDER BY TRY_CAST(doc_id AS BIGINT), doc_id, pos) AS rn
          |  FROM d WHERE df >= 2
          |), cov AS (
          |  SELECT DISTINCT doc_id, pos + i - 1 AS cp
@@ -192,8 +192,8 @@ object TokenQueries {
          |  CROSS JOIN v
          |)
          |SELECT doc_id, count(*) AS n_bigrams,
-         |  CAST(sum(lp) AS DOUBLE) AS sum_logp,
-         |  CAST(sum(lp) AS DOUBLE) / count(*) AS avg_logp
+         |  CAST(round(sum(lp), 9) AS DOUBLE) AS sum_logp,
+         |  CAST(round(sum(lp), 9) AS DOUBLE) / count(*) AS avg_logp
          |FROM scored GROUP BY doc_id""".stripMargin) { (s, dir) =>
       val t = tokenTable(s, dir)
       TokenPipeline.lmScore(t, t)

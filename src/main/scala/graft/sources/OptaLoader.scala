@@ -269,10 +269,14 @@ final class OptaLoader(spark: SparkSession, root: String,
     * unused Sub, 0 for a starter), sub_off = their first SubOff entry
     * (else the red-card minute, else match_time); minutes = sub_off −
     * sub_on. `sAttr`/`bAttr` abstract the feed's attribute access (F9
-    * '@attributes' bags vs F7 '_'-prefixed XML attributes). */
+    * '@attributes' bags vs F7 '_'-prefixed XML attributes). The booking
+    * minute attribute differs between the feeds — F9 Booking elements
+    * carry `Time` (`f9_json.py:208-216`) but F7 Booking elements carry
+    * `Min` (`f7_xml.py:171-178`) — so it is a parameter, not a constant. */
   private def subMinutes(subs: Column, sAttr: (Column, String) => Column,
       bookings: Column, bAttr: (Column, String) => Column,
-      pref: Column, status: Column, matchTime: Column): Column = {
+      pref: Column, status: Column, matchTime: Column,
+      bookTimeAttr: String = "Time"): Column = {
     val subOn = coalesce(
       sAttr(get(filter(subs,
         s => sAttr(s, "Retired").isNull && sAttr(s, "SubOn") === pref), lit(0)), "Time")
@@ -280,7 +284,7 @@ final class OptaLoader(spark: SparkSession, root: String,
       when(status === "Sub", matchTime).otherwise(0L))
     val redTime = bAttr(get(filter(bookings,
         b => bAttr(b, "CardType").isin("Red", "SecondYellow") &&
-          bAttr(b, "PlayerRef") === pref), lit(0)), "Time")
+          bAttr(b, "PlayerRef") === pref), lit(0)), bookTimeAttr)
       .cast("long")
     val subOff = coalesce(
       sAttr(get(filter(subs, s => sAttr(s, "SubOff") === pref), lit(0)), "Time")
@@ -376,7 +380,7 @@ final class OptaLoader(spark: SparkSession, root: String,
   private val F7SubsDdl =
     "struct<_Retired:string,_SubOn:string,_SubOff:string,_Time:string>"
   private val F7BookDdl =
-    "struct<_CardType:string,_PlayerRef:string,_Time:string>"
+    "struct<_CardType:string,_PlayerRef:string,_Min:string>"
 
   /** '_'-prefixed XML-attribute accessor that degrades to NULL when the
     * inferred element schema lacks the attribute. */
@@ -419,7 +423,7 @@ final class OptaLoader(spark: SparkSession, root: String,
       col("p._ShirtNumber").cast("long").as("jersey_number"),
       (status === "Start").as("is_starter"),
       subMinutes(col("subs"), sAttr, col("bookings"), bAttr,
-        pref, status, col("match_time")).as("minutes_played"))
+        pref, status, col("match_time"), bookTimeAttr = "Min").as("minutes_played"))
   }
 
   // ---- WhoScored matchCentreData feed (`parsers/whoscored.py`) --------

@@ -20,7 +20,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * zero-padded or fixed-width ids. Unpadded numeric ids split across
   * micro-batches ("999" then "1000") would violate the contract and
   * diverge from the batch packer — pad at ingest, exactly as batch
-  * re-runs over the same table already require. Under the contract the
+  * re-runs over the same table already require. The contract is ENFORCED:
+  * state tracks the max doc_id packed per source and a batch delivering
+  * an id at or below it fails the query loudly (StreamingPackerSpec
+  * asserts) rather than emitting silently-divergent chunks. Under it the
   * emitted chunks are byte-identical to the batch packer's full chunks
   * for the same corpus — asserted in StreamingPackerSpec for multi-batch
   * arrivals, and oracle-checked end-to-end by the `stream_pack_chunks`
@@ -38,19 +41,36 @@ object StreamingPacker {
 
   /** nextChunkId: id the in-progress chunk will get when it completes;
     * docsInCur: docs that have contributed ≥1 token to the in-progress
-    * chunk (mirrors the batch packer's per-chunk piece count). */
-  final case class PackState(nextChunkId: Long, buffer: Seq[Int], docsInCur: Long)
+    * chunk (mirrors the batch packer's per-chunk piece count); maxDocId:
+    * largest doc_id ever delivered to this source (zero-token docs
+    * included) — the sentinel that turns a violated cross-batch ordering
+    * contract into a loud failure instead of silently-divergent chunks. */
+  final case class PackState(nextChunkId: Long, buffer: Seq[Int], docsInCur: Long,
+      maxDocId: Option[String] = None)
 
   final case class PackedChunk(source: String, chunk_id: Long, tokens: Seq[Int],
       n_tok: Int, n_docs: Long)
 
   def packGroup(source: String, docs: Seq[TokenDoc], st: PackState,
       chunkSize: Int): (Seq[PackedChunk], PackState) = {
+    // enforce the determinism contract: every id in this batch must sort
+    // strictly after everything already packed. A violation (unpadded
+    // numeric ids split across batches, replayed docs) would silently
+    // produce chunks that diverge from the batch packer — fail fast with
+    // the offending ids instead.
+    val sorted = docs.sortBy(_.doc_id)
+    for (lo <- sorted.headOption.map(_.doc_id); seen <- st.maxDocId if lo <= seen)
+      throw new IllegalStateException(
+        s"StreamingPacker ordering contract violated for source '$source': " +
+          s"doc_id '$lo' arrived after '$seen' was already packed — doc_ids must be " +
+          "lexicographically monotonic across micro-batches (zero-pad numeric ids)")
+    val maxSeen = (st.maxDocId ++ sorted.lastOption.map(_.doc_id))
+      .reduceOption((a, b) => if (a >= b) a else b)
     var buf = st.buffer
     var docsInCur = st.docsInCur
     var chunkId = st.nextChunkId
     val out = Seq.newBuilder[PackedChunk]
-    for (d <- docs.sortBy(_.doc_id) if d.n_tok > 0) {
+    for (d <- sorted if d.n_tok > 0) {
       buf = buf ++ d.tokens
       docsInCur += 1
       while (buf.length >= chunkSize) {
@@ -63,7 +83,7 @@ object StreamingPacker {
         docsInCur = if (rest.nonEmpty) 1L else 0L
       }
     }
-    (out.result(), PackState(chunkId, buf, docsInCur))
+    (out.result(), PackState(chunkId, buf, docsInCur, maxSeen))
   }
 
   def pack(docs: Dataset[TokenDoc], chunkSize: Int = 128): Dataset[PackedChunk] = {
@@ -74,7 +94,7 @@ object StreamingPacker {
       .flatMapGroupsWithState[PackState, PackedChunk](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (source: String, rows: Iterator[TokenDoc], state: GroupState[PackState]) =>
-          val st = state.getOption.getOrElse(PackState(0L, Nil, 0L))
+          val st = state.getOption.getOrElse(PackState(0L, Nil, 0L, None))
           val (out, next) = packGroup(source, rows.toSeq, st, chunkSize)
           state.update(next)
           out.iterator

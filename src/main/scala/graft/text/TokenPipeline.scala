@@ -80,15 +80,22 @@ object TokenPipeline {
 
   /** Span-cut completion of [[dupSpans]] (the actual dedup of Lee et al.):
     * per duplicated window hash the globally-first occurrence — min
-    * (doc_id-as-number, pos) — is kept, every other occurrence marks its
+    * (doc_id-as-number, doc_id, pos); the try_cast sorts numeric-string
+    * corpora numerically and degrades to a pure-string total order (cast
+    * NULL for every id) on non-numeric id schemes — is kept, every other
+    * occurrence marks its
     * W token positions for removal; overlapping cut windows union. Returns
     * per-doc (doc_id, n_tok, n_cut, n_kept). Work: one row_number window
     * over win_hash + a W-fold explode of cut occurrences only (not of the
     * corpus), distinct, count — all equi-shuffles, output one row per doc. */
   def dupSpanCutStats(tokens: DataFrame, w: Int = 16): DataFrame = {
     val dup = dupSpans(tokens, w)
+    // numeric-first keeper order with the raw string as tiebreaker: for
+    // non-numeric ids the bigint cast is NULL for every row (NULLS FIRST
+    // both engines), and the string doc_id keeps the order total — without
+    // it the keeper among ties would be partition-order-dependent
     val keeper = Window.partitionBy("win_hash")
-      .orderBy(col("doc_id").cast("bigint"), col("pos"))
+      .orderBy(expr("try_cast(doc_id AS bigint)"), col("doc_id"), col("pos"))
     val cut = dup.withColumn("rn", row_number().over(keeper))
       .filter(col("rn") > 1)
       .select(col("doc_id"),
@@ -134,8 +141,14 @@ object TokenPipeline {
       .select(col("doc_id"),
         logp.cast("decimal(38,12)").as("lp"))
       .groupBy("doc_id")
+      // each lp carries exactly 9 decimals, so the decimal sum has ≤9
+      // decimals of significance and round(·, 9) is numerically a no-op —
+      // it only RESCALES the decimal before the one cast to double, so the
+      // scaled integer entering the conversion is 1000× smaller (exact
+      // below |sum| ≈ 9e6, vs ≈ 9e3 at scale 12) and both engines convert
+      // identically (the vaep_player_rating requantize pattern)
       .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("lp")).cast("double").as("sum_logp"))
+        round(sum(col("lp")), 9).cast("double").as("sum_logp"))
       .select(col("doc_id"), col("n_bigrams"), col("sum_logp"),
         (col("sum_logp") / col("n_bigrams")).as("avg_logp"))
   }

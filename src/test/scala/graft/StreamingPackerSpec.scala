@@ -24,17 +24,38 @@ class StreamingPackerSpec extends SparkSpec {
     val (out, st) = StreamingPacker.packGroup("s",
       Seq(doc(1, "s", 1 to 3), doc(2, "s", 4 to 6)), st0, 4)
     assert(out == Seq(PackedChunk("s", 0L, Seq(1, 2, 3, 4), 4, 2L)))
-    assert(st == PackState(1L, Seq(5, 6), 1L))
+    assert(st == PackState(1L, Seq(5, 6), 1L, Some("0002")))
     // a doc spanning several chunks keeps n_docs=1 on interior chunks
     val (out2, st2) = StreamingPacker.packGroup("s", Seq(doc(3, "s", 7 to 16)), st, 4)
     assert(out2 == Seq(
       PackedChunk("s", 1L, Seq(5, 6, 7, 8), 4, 2L),
       PackedChunk("s", 2L, Seq(9, 10, 11, 12), 4, 1L),
       PackedChunk("s", 3L, Seq(13, 14, 15, 16), 4, 1L)))
-    assert(st2 == PackState(4L, Nil, 0L))
+    assert(st2 == PackState(4L, Nil, 0L, Some("0003")))
     // exact fill: a doc that lands on the boundary leaves an empty buffer
     val (out3, st3) = StreamingPacker.packGroup("s", Seq(doc(4, "s", 1 to 4)), st2, 4)
     assert(out3.head.n_docs == 1L && st3.buffer.isEmpty && st3.docsInCur == 0L)
+  }
+
+  test("packGroup enforces the cross-batch doc_id ordering contract") {
+    // a batch delivering an id ≤ the max already packed must fail loudly
+    // (silent acceptance would produce chunks diverging from the batch
+    // packer); ids strictly above the watermark keep flowing
+    val (_, st) = StreamingPacker.packGroup("s",
+      Seq(doc(5, "s", 1 to 3)), PackState(0L, Nil, 0L), 4)
+    assert(st.maxDocId.contains("0005"))
+    val regress = intercept[IllegalStateException] {
+      StreamingPacker.packGroup("s", Seq(doc(4, "s", 1 to 3)), st, 4)
+    }
+    assert(regress.getMessage.contains("ordering contract"))
+    val replay = intercept[IllegalStateException] {
+      StreamingPacker.packGroup("s", Seq(doc(5, "s", 1 to 3)), st, 4)
+    }
+    assert(replay.getMessage.contains("0005"))
+    // zero-token docs advance the watermark too (they were delivered)
+    val (out2, st2) = StreamingPacker.packGroup("s",
+      Seq(TokenDoc("0006", Nil, 0, "s")), st, 4)
+    assert(out2.isEmpty && st2.maxDocId.contains("0006"))
   }
 
   test("multi-batch streaming equals single-batch packing on full chunks") {
