@@ -65,13 +65,38 @@ object ScalingBench {
     (rows, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Adversarial sequence-packing job: concat-and-chunk over a k×-replicated
+    * token table collapsed to ONE source — the case the two-phase prefix-sum
+    * offsets exist for. Before round 4 the offset pass was a
+    * `Window.partitionBy(source)` running sum, i.e. ONE task for the whole
+    * corpus here regardless of core count (scaling ≈ 1×); with the
+    * range-partitioned local-prefix + broadcast-base form the work spreads
+    * across range partitions and scales with cores. */
+  def packJob(spark: SparkSession, sfDir: String, k: Int): (Long, Double) = {
+    import org.apache.spark.sql.functions._
+    import graft.core.Tables
+    import graft.text.TokenPipeline
+    val t0 = System.nanoTime()
+    val docs = Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+      .select(explode(sequence(lit(0L), lit(k - 1L))).as("r"), col("doc_id"), col("text"))
+      .select(format_string("d%04d%06d", col("r"), col("doc_id")).as("doc_id"),
+        concat(col("text"), lit(" v"), col("r")).as("text"),
+        lit("s0").as("source"))
+    val tokens = TokenPipeline.fromDocuments(docs)
+    TokenPipeline.packChunks(tokens, chunkSize = 128)
+      .write.mode("overwrite").format("noop").save()
+    val rows = docs.count()
+    (rows, (System.nanoTime() - t0) / 1e9)
+  }
+
   /** One timed run of both jobs in a fresh local[cores] session:
     * (valuation rows, valuation sec, corpus rows, corpus sec). kCorpus is
     * sized independently: the codegen'd kernels made the corpus job ~10×
     * faster than round 1, so it needs ~10× more rows for the measured
     * window to dwarf fixed per-job overheads. */
   def runOnce(cores: Int, sfDir: String, k: Int, kCorpus: Int)
-      : (Long, Double, Long, Double, Double) = {
+      : (Long, Double, Long, Double, Double, Long, Double) = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
@@ -82,14 +107,16 @@ object ScalingBench {
     spark.sparkContext.setLogLevel("WARN")
     Bench.valuationPipeline(spark, "/root/testdata/sf0.001") // JIT/codegen warmup
     corpusJob(spark, "/root/testdata/sf0.001", 2)
+    packJob(spark, "/root/testdata/sf0.001", 2)
     val actions = replicatedActions(spark, sfDir, k)
     val out = Bench.valuationPipelineOn(spark, actions)
     val packed = Bench.valuationPipelinePacked(spark, actions)
     val corpus = corpusJob(spark, sfDir, kCorpus)
+    val pack = packJob(spark, sfDir, kCorpus)
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    (out._1, out._2, corpus._1, corpus._2, packed._2)
+    (out._1, out._2, corpus._1, corpus._2, packed._2, pack._1, pack._2)
   }
 
   /** Raw CPU scaling ceiling: spin-loop throughput ratio at 4N vs N threads. */
@@ -128,15 +155,17 @@ object ScalingBench {
 
     var rows = 0L
     var corpusRows = 0L
+    var packRows = 0L
     val results = (1 to rounds).map { r =>
-      val (rs, ts, cs, tcs, tps) = runOnce(nSmall, sfDir, k, kCorpus)
-      val (rl, tl, cl, tcl, tpl) = runOnce(nLarge, sfDir, k, kCorpus)
-      require(rs == rl && cs == cl, s"row counts differ: $rs/$rl $cs/$cl")
+      val (rs, ts, cs, tcs, tps, ps, tpk) = runOnce(nSmall, sfDir, k, kCorpus)
+      val (rl, tl, cl, tcl, tpl, pl, tpkl) = runOnce(nLarge, sfDir, k, kCorpus)
+      require(rs == rl && cs == cl && ps == pl, s"row counts differ: $rs/$rl $cs/$cl $ps/$pl")
       rows = rs
       corpusRows = cs
+      packRows = ps
       System.err.println(
-        f"round $r: valuation small=$ts%.1fs large=$tl%.1fs | packed small=$tps%.1fs large=$tpl%.1fs | corpus small=$tcs%.1fs large=$tcl%.1fs")
-      (ts, tl, tcs, tcl, tps, tpl)
+        f"round $r: valuation small=$ts%.1fs large=$tl%.1fs | packed small=$tps%.1fs large=$tpl%.1fs | corpus small=$tcs%.1fs large=$tcl%.1fs | pack1src small=$tpk%.1fs large=$tpkl%.1fs")
+      (ts, tl, tcs, tcl, tps, tpl, tpk, tpkl)
     }
 
     def report(name: String, n: Long, small: Seq[Double], large: Seq[Double]): Unit = {
@@ -150,5 +179,6 @@ object ScalingBench {
     report("valuation", rows, results.map(_._1), results.map(_._2))
     report("valuation_packed", rows, results.map(_._5), results.map(_._6))
     report("corpus", corpusRows, results.map(_._3), results.map(_._4))
+    report("pack_1source", packRows, results.map(_._7), results.map(_._8))
   }
 }

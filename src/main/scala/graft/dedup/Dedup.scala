@@ -34,16 +34,26 @@ object Dedup {
   /** Exact duplicate groups: docs whose full text hashes equal; canonical =
     * min doc_id. One hash-shuffle on the 60-bit content hash — at scale this
     * is the cheapest possible grouping (no text comparison re-shuffle since
-    * collision probability at 2^60 is negligible for dedup purposes). */
+    * collision probability at 2^60 is negligible for dedup purposes).
+    *
+    * Deliberately row-per-doc window aggregates, NOT
+    * `collect_list(doc_id)` + explode: a degenerate corpus with d copies
+    * of one document would materialize a single d-entry array row (the
+    * unbounded-group failure mode the LSH bucket caps exist to prevent —
+    * and this operator is the one users are told to run FIRST, so it must
+    * survive exactly that corpus). The window form never builds a list:
+    * WindowExec buffers the hash group as spillable sorted rows, so
+    * memory stays bounded at any duplication factor — DedupSpec runs a
+    * 120k-copy group through it. */
   def exactDuplicates(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val hashed = documents.select(col("doc_id"), md5Hash60(col("text")).as("content_hash"))
+    val wHash = Window.partitionBy("content_hash")
     hashed
-      .groupBy("content_hash")
-      .agg(count(lit(1)).as("group_size"), min("doc_id").as("canonical_id"),
-        collect_list("doc_id").as("ids"))
-      .filter(col("group_size") > 1)
-      .select(explode(col("ids")).as("doc_id"), col("canonical_id"), col("group_size"))
-      .filter(col("doc_id") =!= col("canonical_id"))
+      .withColumn("group_size", count(lit(1)).over(wHash))
+      .withColumn("canonical_id", min("doc_id").over(wHash))
+      .filter(col("group_size") > 1 && col("doc_id") =!= col("canonical_id"))
+      .select("doc_id", "canonical_id", "group_size")
   }
 
   /** Default document-frequency cap: shingles appearing in more than this

@@ -75,13 +75,16 @@ object DedupQueries {
          |FROM h JOIN g ON h.content_hash = g.content_hash
          |WHERE h.doc_id <> g.canonical_id""".stripMargin) { (s, dir) =>
       // md5 grouping (the 60-bit reduction in Dedup.exactDuplicates is
-      // equivalent here; use full md5 for oracle parity)
+      // equivalent here; use full md5 for oracle parity) — same
+      // spillable-window shape as the operator: no per-hash list row,
+      // bounded memory at any duplication factor
+      import org.apache.spark.sql.expressions.Window
       val hashed = augmented(s, dir).select(col("doc_id"), md5(col("text")).as("content_hash"))
-      val groups = hashed.groupBy("content_hash")
-        .agg(count(lit(1)).as("group_size"), min("doc_id").as("canonical_id"))
-        .filter(col("group_size") > 1)
-      hashed.join(groups, "content_hash")
-        .filter(col("doc_id") =!= col("canonical_id"))
+      val wHash = Window.partitionBy("content_hash")
+      hashed
+        .withColumn("group_size", count(lit(1)).over(wHash))
+        .withColumn("canonical_id", min("doc_id").over(wHash))
+        .filter(col("group_size") > 1 && col("doc_id") =!= col("canonical_id"))
         .select("doc_id", "canonical_id", "group_size")
     },
 

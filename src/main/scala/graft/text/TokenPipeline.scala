@@ -158,15 +158,45 @@ object TokenPipeline {
     * `chunkSize` chunks; a doc overlapping k chunk boundaries contributes
     * k+1 slices. Returns (source, chunk_id, tokens, n_tok, n_docs) with
     * chunk_id restarting at 0 per source; the final chunk per source may
-    * be short. At cluster scale the offset pass range-partitions on
-    * (source, doc_id) and chunk assembly shuffles each token exactly once
-    * inside its slice struct. */
+    * be short. Chunk assembly shuffles each token exactly once inside its
+    * slice struct.
+    *
+    * The running-sum offset is a TWO-PHASE PREFIX SUM, not a
+    * `Window.partitionBy(source)` running sum — that window clusters an
+    * entire source into ONE task, so a 100 TB corpus with a handful of
+    * sources would compute its offsets on a handful of tasks. Here the
+    * corpus is range-partitioned on (source, doc_id) — so partition order
+    * agrees with the per-source doc order — then: (1) each task computes
+    * its LOCAL running sum (the window key includes the range-partition
+    * id, so no group exceeds one range partition); (2) per-(partition,
+    * source) token totals — a few rows per task — are cumulated into
+    * per-partition base offsets and broadcast back; off = base + local.
+    * Work per task is bounded by the range-partition size at ANY source
+    * skew, and the value of `off` — hence every downstream chunk — is
+    * identical to the single-window form (PackChunksSpec asserts;
+    * identical oracle). */
   def packChunks(tokens: DataFrame, chunkSize: Int = 128): DataFrame = {
     val c = chunkSize
-    val prev = Window.partitionBy("source").orderBy("doc_id")
+    val nParts = tokens.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = tokens.filter(col("n_tok") > 0)
+      .repartitionByRange(nParts, col("source"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    // (1) local prefix within (range partition, source) — parallel across
+    // the range partitions regardless of how few sources exist
+    val localPrev = Window.partitionBy("pid", "source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val t = tokens.filter(col("n_tok") > 0)
-      .withColumn("off", coalesce(sum("n_tok").over(prev), lit(0L)).cast("long"))
+    val withLocal = parted
+      .withColumn("loff", coalesce(sum("n_tok").over(localPrev), lit(0L)).cast("long"))
+    // (2) tiny per-(pid, source) totals → cumulative base offset of each
+    // partition within its source (rows = partitions × sources touched,
+    // not corpus rows), broadcast back onto the corpus
+    val basePrev = Window.partitionBy("source").orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = parted.groupBy("pid", "source").agg(sum("n_tok").as("ptot"))
+      .withColumn("base", coalesce(sum("ptot").over(basePrev), lit(0L)).cast("long"))
+      .select("pid", "source", "base")
+    val t = withLocal.join(broadcast(bases), Seq("pid", "source"))
+      .withColumn("off", col("base") + col("loff"))
     val gstart = greatest(col("off"), col("chunk_id") * c)
     val gend = least(col("off") + col("n_tok"), (col("chunk_id") + 1) * c)
     t.select(col("source"), col("off"), col("tokens"), col("n_tok"),

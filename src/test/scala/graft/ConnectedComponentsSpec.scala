@@ -26,6 +26,29 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(cc.size == 64 && cc.values.forall(_ == 1L))
   }
 
+  test("reliable checkpoint mode engages when the context has a checkpoint dir") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_reliable_ckpt").toString
+    val sc = spark.sparkContext
+    sc.setCheckpointDir(dir)
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+      val cc = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+      assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+      // rounds actually wrote reliable RDD checkpoints (the store that
+      // survives executor loss), not executor-local blocks
+      def rddDirs(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles).toSeq.flatten.flatMap(c =>
+          if (c.isDirectory) (if (c.getName.startsWith("rdd-")) Seq(c) else rddDirs(c)) else Nil)
+      assert(rddDirs(new java.io.File(dir)).nonEmpty)
+    } finally {
+      // the shared session outlives this suite — restore localCheckpoint
+      // default (checkpointDir is a private[spark] var; public in bytecode)
+      classOf[org.apache.spark.SparkContext]
+        .getMethod("checkpointDir_$eq", classOf[Option[String]])
+        .invoke(sc, None)
+    }
+  }
+
   test("edge direction and duplicate edges do not matter") {
     val edges = Seq((5L, 3L), (3L, 5L), (3L, 9L), (9L, 3L), (9L, 5L))
       .toDF("doc_a", "doc_b")

@@ -24,6 +24,19 @@ class DedupSpec extends SparkSpec {
     assert(out(0).getLong(0) == 2L && out(0).getLong(1) == 1L && out(0).getLong(2) == 2L)
   }
 
+  test("exact duplicates: a degenerate 120k-copy group completes with bounded rows") {
+    // the collect_list formulation this replaced would build ONE 120k-entry
+    // array row here; the window form buffers spillable sorted rows instead
+    val degenerate = spark.range(120000).select(
+      format_string("d%06d", col("id")).as("doc_id"), lit("same text every time").as("text"))
+    val out = Dedup.exactDuplicates(degenerate)
+    assert(out.count() == 119999L)
+    val first = out.orderBy("doc_id").head()
+    assert(first.getAs[String]("doc_id") == "d000001")
+    assert(first.getAs[String]("canonical_id") == "d000000")
+    assert(first.getAs[Long]("group_size") == 120000L)
+  }
+
   test("n-gram jaccard finds exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.jaccardPairs(docs, n = 3, threshold = 0.4)
       .select("doc_a", "doc_b", "jaccard").collect()

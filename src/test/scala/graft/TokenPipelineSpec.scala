@@ -48,6 +48,50 @@ class TokenPipelineSpec extends SparkSpec {
     assert(chunk3 == doc3.takeRight(2))
   }
 
+  test("packChunks: two-phase offsets reproduce the per-source running sum exactly") {
+    // 3 sources × 40 docs of varying lengths at shuffle.partitions=4, so
+    // every source straddles several range partitions and the broadcast
+    // base offsets genuinely stitch across partition boundaries
+    val rows = for (s <- 1 to 3; i <- 1 to 40)
+      yield (f"d$i%03d", (1 to (i * 7 % 11 + 1)).map(j => s"w${s}_${i}_$j").mkString(" "), s"src$s")
+    val t = TokenPipeline.fromDocuments(rows.toDF("doc_id", "text", "source"))
+    val got = TokenPipeline.packChunks(t, chunkSize = 16)
+      .select("source", "chunk_id", "tokens", "n_docs")
+      .as[(String, Long, Seq[Int], Long)].collect()
+      .map { case (s, c, tk, nd) => ((s, c), (tk, nd)) }.toMap
+    // driver-side reference: concat per source in doc_id order, cut at 16
+    val byDoc = t.select("doc_id", "tokens", "source")
+      .as[(String, Seq[Int], String)].collect()
+    val expected = byDoc.groupBy(_._3).flatMap { case (src, ds) =>
+      val ordered = ds.sortBy(_._1)
+      val flat = ordered.flatMap(_._2)
+      // doc start offsets → how many docs contribute to each chunk
+      val offs = ordered.map(_._2.size).scanLeft(0)(_ + _)
+      val spans = ordered.map(_._2.size).zip(offs).map { case (n, o) => (o, o + n) }
+      flat.grouped(16).zipWithIndex.map { case (chunk, ci) =>
+        val lo = ci * 16
+        val hi = lo + chunk.size
+        val nDocs = spans.count { case (s0, e0) => math.max(s0, lo) < math.min(e0, hi) }
+        ((src, ci.toLong), (chunk.toSeq, nDocs.toLong))
+      }
+    }
+    assert(got == expected)
+  }
+
+  test("packChunks plan: the only per-source window runs over the tiny partial sums") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val t = TokenPipeline.fromDocuments(docs(("01", "a b c", "s1"), ("02", "d e", "s1")))
+    val lp = TokenPipeline.packChunks(t, chunkSize = 4).queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    // local prefix window keyed (pid, source) — parallel at any source count
+    assert(wins.exists(_.partitionSpec.size == 2))
+    // any single-key (source) window must sit over the per-(pid, source)
+    // aggregate, never over the corpus — the round-3 scale-killer shape
+    val srcOnly = wins.filter(_.partitionSpec.size == 1)
+    assert(srcOnly.nonEmpty)
+    assert(srcOnly.forall(w => w.child.collectFirst { case a: Aggregate => a }.nonEmpty))
+  }
+
   test("packChunks: chunk crossing a doc boundary concatenates in doc_id order") {
     val t = TokenPipeline.fromDocuments(docs(
       ("01", "a b c", "s1"), ("02", "d e f", "s1")))
