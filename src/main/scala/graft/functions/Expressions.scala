@@ -32,6 +32,9 @@ object TextExpressions {
 
   def dot(a: Column, b: Column): Column =
     Shim.column(FoldDotExpr(Shim.expression(a), Shim.expression(b)))
+
+  def tokenWindowHashes(tokens: Column, w: Int): Column =
+    Shim.column(TokenWindowHashesExpr(Shim.expression(tokens), w))
 }
 
 /** Seeded left-fold polynomial hash of a string's code points (see
@@ -108,6 +111,27 @@ case class ShinglesExpr(child: Expression, n: Int)
       c => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
         s"(Object[]) graft.functions.Kernels.shingles($c, $n))")
   override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
+/** Stride-1 double-modulus rolling window hashes over an int-token array
+  * (see [[Kernels.tokenWindowHashes]]): one O(n) prefix pass per row in
+  * whole-stage codegen, O(1) per window. */
+case class TokenWindowHashesExpr(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, s"window must be ≥ 1, got $w")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<int>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(Kernels.tokenWindowHashes(input.asInstanceOf[ArrayData], w))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.Kernels.tokenWindowHashes($c, $w))")
+  override protected def withNewChildInternal(newChild: Expression): TokenWindowHashesExpr =
     copy(child = newChild)
 }
 

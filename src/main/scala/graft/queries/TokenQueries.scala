@@ -44,15 +44,20 @@ object TokenQueries {
       .parquet(s"$dir/documents.parque[t]")
 
   /** Duplicated-window CTE chain (w → h → d) mirroring
-    * TokenPipeline.dupSpans over CTE `t`: stride-1 16-token window hashes
-    * with per-corpus occurrence counts. */
+    * TokenPipeline.dupSpans over CTE `t`: stride-1 16-token double-modulus
+    * rolling hashes with per-corpus occurrence counts. The zero-seeded
+    * list_reduce fold is congruence-identical to the engine's prefix
+    * rolling-hash kernel (Kernels.tokenWindowHashes) — combined hash =
+    * h(mod 1e9+7) · 998244353 + h(mod 998244353), pure BIGINT math. */
+  private def polyWinFold(p: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, tokens[pos:pos+15]), (acc, x) -> (acc * 31 + x) % $p)"
   private val dupSpanCtes =
-    """, w AS (
+    s""", w AS (
       |  SELECT doc_id, unnest(generate_series(1, n_tok - 15)) AS pos, tokens
       |  FROM t WHERE n_tok >= 16
       |), h AS (
       |  SELECT doc_id, pos,
-      |    ('0x' || substring(md5(array_to_string(tokens[pos:pos+15], '_')), 1, 15))::BIGINT AS win_hash
+      |    ${polyWinFold("1000000007")} * 998244353 + ${polyWinFold("998244353")} AS win_hash
       |  FROM w
       |), d AS (
       |  SELECT doc_id, pos, win_hash, count(*) OVER (PARTITION BY win_hash) AS df

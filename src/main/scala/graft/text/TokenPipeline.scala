@@ -62,18 +62,25 @@ object TokenPipeline {
         .otherwise("test").as("split"))
   }
 
-  /** Duplicated-span map: every W-token window (stride 1) whose 60-bit
-    * hash occurs ≥ 2 times in the corpus, as (doc_id, pos, win_hash, df).
-    * Downstream span-cutting removes [pos, pos+w) from all-but-one
-    * occurrence. One exchange (the df count over win_hash). */
+  /** Duplicated-span map: every W-token window (stride 1) whose ~60-bit
+    * double-modulus rolling hash occurs ≥ 2 times in the corpus, as
+    * (doc_id, pos, win_hash, df). Downstream span-cutting removes
+    * [pos, pos+w) from all-but-one occurrence. One exchange (the df count
+    * over win_hash).
+    *
+    * Window hashing is the O(1)-per-window prefix rolling-hash kernel
+    * ([[graft.functions.Kernels.tokenWindowHashes]]) — ONE codegen'd pass
+    * per doc — replacing the round-3 md5-over-reconcatenated-string form
+    * that paid O(w) string building + digest per position (~16× the CPU at
+    * w=16 on the corpus-dominant operator). KernelsSpec asserts parity
+    * with the interpreted fold; the DuckDB oracle mirrors the fold
+    * exactly via zero-seeded list_reduce. */
   def dupSpans(tokens: DataFrame, w: Int = 16): DataFrame = {
-    val winHash = (i: Column) => Dedup.md5Hash60(
-      concat_ws("_", transform(slice(col("tokens"), i, lit(w)), _.cast("string"))))
     val wins = tokens.filter(col("n_tok") >= w)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), col("n_tok") - (w - 1)),
-          i => struct(i.as("pos"), winHash(i).as("win_hash")))).as("wn"))
-      .select(col("doc_id"), col("wn.pos").as("pos"), col("wn.win_hash").as("win_hash"))
+        posexplode(graft.functions.TextExpressions.tokenWindowHashes(col("tokens"), w))
+          .as(Seq("p0", "win_hash")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("win_hash"))
     wins.withColumn("df", count(lit(1)).over(Window.partitionBy("win_hash")))
       .filter(col("df") >= 2)
   }

@@ -95,4 +95,33 @@ class KernelsSpec extends SparkSpec {
       .select(Similarity.dot(col("a"), col("b")).as("k"))
     assert(d.collect()(0).isNullAt(0))
   }
+
+  test("tokenWindowHashes kernel == interpreted zero-seeded fold, all window sizes") {
+    import spark.implicits._
+    // real token arrays (md5-derived ids up to 1e9+6, the adversarial
+    // magnitude for the modular math) + hand edges: n == w, n < w, n == 0
+    val corpus = graft.text.TokenPipeline
+      .fromDocuments(Tables.documents(spark, sf).limit(200)
+        .withColumn("source", lit("s")))
+      .select("tokens")
+    val edges = Seq(
+      Seq(1000000006, 1000000006, 0, 7),
+      Seq(5, 7, 9),
+      Seq(42),
+      Seq.empty[Int]).toDF("tokens")
+    def hof(w: Int) = when(size(col("tokens")) < w, array().cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(1), size(col("tokens")) - (w - 1)),
+        i => {
+          val win = slice(col("tokens"), i, lit(w))
+          def fold(p: Long) =
+            aggregate(win, lit(0L), (acc, x) => (acc * 31 + x.cast("long")) % p)
+          fold(1000000007L) * 998244353L + fold(998244353L)
+        }))
+    for (w <- Seq(1, 3, 16)) {
+      val d = corpus.unionByName(edges).select(
+        TextExpressions.tokenWindowHashes(col("tokens"), w).as("k"), hof(w).as("h"))
+      assert(d.filter(!(col("k") <=> col("h"))).count() == 0, s"w=$w")
+    }
+  }
 }
