@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Q
 import graft.core.{SynActions, Tables}
-import graft.vaep.{Features, GameStates, Labels, VaepModel}
+import graft.operators.AtomicOps
+import graft.vaep.{AtomicVaep, Features, GameStates, Labels, VaepModel}
 
 /** M1–M4 — the full VAEP ML chain: states → features → labels → seeded GBT
   * pair → probabilities → value formula → per-action ratings. Learned-model
@@ -42,12 +43,49 @@ object MlQueries {
     Labels.concedes(Labels.scores(withF))
   }
 
+  /** Numeric feature set for the atomic GBT chain (one gamestate, matching
+    * the reference e2e test's `AtomicVAEP(nb_prev_actions=1)`,
+    * `tests/atomic/test_atomic_vaep.py:24-61`). */
+  def atomicFeatureCols: Array[String] = Array(
+    "x_a0", "y_a0", "dist_to_goal_a0", "angle_to_goal_a0",
+    "mov_d_a0", "mov_angle_a0", "dx_a0", "dy_a0",
+    "goalscore_team", "goalscore_opponent", "goalscore_diff")
+
+  /** Atomic chain: SPADL→atomic conversion, left-to-right orientation,
+    * single-state feature projection, atomic lookahead labels — the input
+    * the reference's AtomicVAEP fits on. */
+  def atomicAssembled(s: SparkSession, dir: String): DataFrame = {
+    val atomic = AtomicOps.convertToAtomic(SynActions.fromEvents(Tables.events(s, dir)))
+    val ltr = AtomicVaep.playLeftToRight(atomic, 1, SynActions.homeTeamId)
+    val feats = AtomicVaep.location(0) ++ AtomicVaep.polar(0) ++
+      AtomicVaep.movementPolar(0) ++ AtomicVaep.direction(0) ++ AtomicVaep.goalscore
+    val withF = ltr.select(
+      Seq(col("game_id"), col("action_id"), col("seq"), col("team_id"),
+        col("period_id"), col("time_seconds"), col("type_id")) ++ feats: _*)
+    AtomicVaep.labels(withF)
+  }
+
   val all: Seq[Q] = Seq(
     Q.rowsOnly("vaep_ml_rate") { (s, dir) =>
       val data = assembled(s, dir).cache()
       val fc = featureCols(3)
       val model = VaepModel.fit(data, fc, maxIter = 10, maxDepth = 3, seed = 42L)
       val rated = VaepModel.rate(model, data)
+      data.unpersist()
+      rated.select("game_id", "action_id", "seq", "scores_p", "concedes_p",
+        "offensive_value", "defensive_value", "vaep_value")
+    },
+
+    // The atomic GBT chain end-to-end (reference
+    // tests/atomic/test_atomic_vaep.py:24-61): atomic gamestate features +
+    // atomic labels → seeded GBT pair → probabilities → the ATOMIC value
+    // formula (no phase cutoff, prev-goal on goal/owngoal TYPE rows).
+    // Learned-model outputs are rows-only like vaep_ml_rate; structure and
+    // metric quality are gated in VaepModelSpec.
+    Q.rowsOnly("atomic_vaep_ml_rate") { (s, dir) =>
+      val data = atomicAssembled(s, dir).cache()
+      val model = VaepModel.fit(data, atomicFeatureCols, maxIter = 10, maxDepth = 3, seed = 42L)
+      val rated = AtomicVaep.value(VaepModel.estimateProbabilities(model, data))
       data.unpersist()
       rated.select("game_id", "action_id", "seq", "scores_p", "concedes_p",
         "offensive_value", "defensive_value", "vaep_value")

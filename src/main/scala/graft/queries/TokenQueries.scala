@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Q
 import graft.core.Tables
+import graft.dedup.Dedup
 import graft.streaming.StreamRun
 import graft.text.TokenPipeline
 
@@ -202,6 +203,51 @@ object TokenQueries {
          |FROM scored GROUP BY doc_id""".stripMargin) { (s, dir) =>
       val t = tokenTable(s, dir)
       TokenPipeline.lmScore(t, t)
+    },
+
+    // Held-out LM scoring (CCNet's actual deployment shape: the quality
+    // model is trained on a reference corpus, not the scored one): model =
+    // the hashSplit train partition, scored = the val partition, so unseen
+    // bigrams/prefixes exercise the add-one smoothing floor (c_ab→0,
+    // c_a→0) under the oracle. Both splits are map-only filters on the
+    // same content-stable bucket hashSplit uses.
+    Q("tokens_lm_perplexity_heldout",
+      s"""WITH ${tokensCte("documents")}, tr AS (
+         |  SELECT * FROM t WHERE ('0x' || substring(md5(doc_id), 1, 15))::BIGINT % 100 < 80
+         |), va AS (
+         |  SELECT * FROM t WHERE ('0x' || substring(md5(doc_id), 1, 15))::BIGINT % 100 BETWEEN 80 AND 89
+         |), bgm AS (
+         |  SELECT doc_id, tokens[i] AS a, tokens[i + 1] AS b
+         |  FROM (SELECT doc_id, tokens, unnest(generate_series(1, n_tok - 1)) AS i
+         |        FROM tr WHERE n_tok >= 2)
+         |), bgs AS (
+         |  SELECT doc_id, tokens[i] AS a, tokens[i + 1] AS b
+         |  FROM (SELECT doc_id, tokens, unnest(generate_series(1, n_tok - 1)) AS i
+         |        FROM va WHERE n_tok >= 2)
+         |), cab AS (
+         |  SELECT a, b, count(*) AS c_ab FROM bgm GROUP BY a, b
+         |), ca AS (
+         |  SELECT a, count(*) AS c_a FROM bgm GROUP BY a
+         |), v AS (
+         |  SELECT count(DISTINCT tok) AS vs FROM (SELECT unnest(tokens) AS tok FROM tr)
+         |), scored AS (
+         |  SELECT bgs.doc_id,
+         |    CAST(round(ln((coalesce(cab.c_ab, 0) + 1)::DOUBLE /
+         |      (coalesce(ca.c_a, 0) + v.vs)::DOUBLE), 9) AS DECIMAL(38,12)) AS lp
+         |  FROM bgs
+         |  LEFT JOIN cab ON bgs.a = cab.a AND bgs.b = cab.b
+         |  LEFT JOIN ca ON bgs.a = ca.a
+         |  CROSS JOIN v
+         |)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(round(sum(lp), 9) AS DOUBLE) AS sum_logp,
+         |  CAST(round(sum(lp), 9) AS DOUBLE) / count(*) AS avg_logp
+         |FROM scored GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val t = tokenTable(s, dir)
+      val bucket = Dedup.md5Hash60(col("doc_id")) % 100
+      TokenPipeline.lmScore(
+        t.filter(bucket >= 80 && bucket < 90),
+        t.filter(bucket < 80))
     },
 
     // Deterministic stratified subsample: k docs per source in

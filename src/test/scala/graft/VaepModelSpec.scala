@@ -40,6 +40,32 @@ class VaepModelSpec extends SparkSpec {
     data.unpersist()
   }
 
+  test("atomic GBT chain: fit → probabilities → atomic value formula, metric-gated") {
+    // mirrors the reference e2e shape for AtomicVAEP(nb_prev_actions=1)
+    // (tests/atomic/test_atomic_vaep.py:24-61): structure + metrics, not
+    // values — classifier output is model-dependent
+    val dir = "/root/testdata/sf0.001"
+    val data = MlQueries.atomicAssembled(spark, dir).cache()
+    val n = data.count()
+    val model = VaepModel.fit(data, MlQueries.atomicFeatureCols,
+      maxIter = 5, maxDepth = 3, seed = 42L)
+    val rated = graft.vaep.AtomicVaep.value(
+      VaepModel.estimateProbabilities(model, data)).cache()
+    assert(rated.count() == n)
+    rated.select("scores_p", "concedes_p", "offensive_value", "defensive_value", "vaep_value")
+      .collect().foreach { r =>
+        assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+        assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+        assert(math.abs(r.getDouble(2) + r.getDouble(3) - r.getDouble(4)) < 1e-12)
+      }
+    val probs = VaepModel.estimateProbabilities(model, data)
+    val (brier, auroc) = VaepModel.score(probs, "scores", "scores_p")
+    assert(brier >= 0.0 && brier <= 0.3, s"atomic brier $brier")
+    assert(auroc > 0.5, s"atomic auroc $auroc")
+    rated.unpersist()
+    data.unpersist()
+  }
+
   test("validation-split fit: early stopping wired, held-out metrics returned") {
     val dir = "/root/testdata/sf0.001"
     val data = MlQueries.assembled(spark, dir).cache()
