@@ -7,20 +7,27 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata; decode / feature-extract / resize /
   * frame-sample run as batched per-partition transforms.
   *
-  * The actual codec libraries are not available in this environment, so the
-  * decode kernel is a STUB — a deterministic fake that reads header bytes —
-  * but the Spark-side plumbing is real and tested: binary column schema,
-  * fixed-size batching inside `mapPartitions` (the Scala analogue of a
-  * `mapInPandas` batch UDF: one kernel invocation per batch, not per row),
-  * and a fixed-shape feature-vector output schema. Swapping the stub for a
-  * real JNI/FFI decoder changes nothing in the plan.
+  * The decode kernel is a REAL pure-JVM image decoder for two lanes —
+  * binary PPM (P6) and uncompressed 24-bit BMP (bottom-up, 4-byte row
+  * padding) — dispatched on the payload's magic bytes. The Spark-side
+  * plumbing is the production shape: binary column schema, fixed-size
+  * batching inside `mapPartitions` (the Scala analogue of a `mapInPandas`
+  * batch UDF: one kernel invocation per batch, not per row), and a
+  * fixed-shape feature-vector output schema. Heavier codecs (JPEG/audio/
+  * video) slot into [[decodeImage]]'s dispatch without touching the plan.
+  *
+  * Test payloads are REAL encoded files: [[withPayload]] synthesizes a
+  * deterministic image per document (md5-derived dims/pixels), writes it
+  * through an actual PPM or BMP ENCODER (even/odd doc_id), and the decode
+  * queries round-trip through the parser — so `multimodal_decode` values
+  * are real decoded rasters, oracle-checked against the generation rule.
   */
 object Multimodal {
 
   /** One media record: id + raw payload. */
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
 
-  /** Decoded metadata + fixed-shape features (the stub's output schema). */
+  /** Decoded metadata + fixed-shape features. */
   final case class DecodedRow(
       doc_id: Long,
       n_bytes: Int,
@@ -33,21 +40,162 @@ object Multimodal {
   val BatchSize = 64
   val FeatureDim = 8
 
-  /** Attach a synthetic binary payload derived from the text column (test
-    * stand-in for a real media blob column in the source table). */
-  def withPayload(documents: DataFrame): DataFrame =
-    documents.withColumn("payload", unhex(md5(col("text"))))
+  // ---- encoders (synthetic-payload generation) ------------------------
 
-  /** STUB decode kernel: a real implementation would hand `batch` to an
-    * image/audio codec; this fake derives shape metadata from header bytes
-    * and a FeatureDim-vector from byte averages. Deterministic. */
-  def decodeBatch(batch: Seq[MediaRow]): Seq[DecodedRow] = batch.map { r =>
-    val b = r.payload.map(_ & 0xff)
-    val mean = b.sum.toDouble / b.length
-    val features = Array.tabulate(FeatureDim) { i =>
-      (b(i % b.length) + b((i * 3 + 1) % b.length)).toFloat / 510.0f
+  /** Binary PPM: "P6\n<w> <h>\n255\n" + row-major RGB raster. */
+  def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == 3 * w * h)
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    header ++ rgb
+  }
+
+  /** Uncompressed 24-bit BMP (BITMAPINFOHEADER): bottom-up rows, each
+    * padded to a 4-byte boundary, pixels stored BGR. */
+  def encodeBmp(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == 3 * w * h)
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val total = 54 + rowSize * h
+    val out = new Array[Byte](total)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
     }
-    DecodedRow(r.doc_id, b.length, 1 + b(0) % 64, 1 + b(1) % 64, 1 + b(2) % 3, mean, features)
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, total)
+    le32(10, 54) // pixel-array offset
+    le32(14, 40) // BITMAPINFOHEADER size
+    le32(18, w)
+    le32(22, h) // positive = bottom-up
+    out(26) = 1 // planes
+    out(28) = 24 // bpp
+    le32(34, rowSize * h)
+    var y = 0
+    while (y < h) {
+      val dst = 54 + (h - 1 - y) * rowSize // bottom-up
+      var x = 0
+      while (x < w) {
+        val src = (y * w + x) * 3
+        out(dst + x * 3) = rgb(src + 2) // B
+        out(dst + x * 3 + 1) = rgb(src + 1) // G
+        out(dst + x * 3 + 2) = rgb(src) // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  // ---- decoders (the real codec) --------------------------------------
+
+  /** Magic-byte dispatch → (width, height, top-down row-major RGB). */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Byte]) =
+    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else throw new IllegalArgumentException(
+      s"unsupported media payload (magic ${bytes.take(2).mkString(",")})")
+
+  def decodePpm(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    var pos = 2 // past "P6"
+    def skipSpace(): Unit = {
+      var going = true
+      while (going && pos < bytes.length) {
+        val c = bytes(pos)
+        if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') pos += 1
+        else going = false
+      }
+    }
+    def int(): Int = {
+      skipSpace()
+      var v = 0
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0')
+        pos += 1
+      }
+      v
+    }
+    val w = int()
+    val h = int()
+    val maxval = int()
+    require(maxval == 255, s"only 8-bit PPM supported, maxval=$maxval")
+    pos += 1 // the single whitespace after maxval
+    val n = 3 * w * h
+    require(bytes.length - pos >= n, "truncated PPM raster")
+    (w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + n))
+  }
+
+  def decodeBmp(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    def le32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    val dataOff = le32(10)
+    val w = le32(18)
+    val h = le32(22)
+    require(h > 0, "top-down BMP not supported")
+    val bpp = (bytes(28) & 0xff) | ((bytes(29) & 0xff) << 8)
+    require(bpp == 24, s"only 24-bit BMP supported, bpp=$bpp")
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val rgb = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      val src = dataOff + (h - 1 - y) * rowSize
+      var x = 0
+      while (x < w) {
+        val dst = (y * w + x) * 3
+        rgb(dst) = bytes(src + x * 3 + 2) // R
+        rgb(dst + 1) = bytes(src + x * 3 + 1) // G
+        rgb(dst + 2) = bytes(src + x * 3) // B
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, rgb)
+  }
+
+  // ---- synthetic payload generation (deterministic, oracle-mirrored) --
+
+  private def hexBytes(hex: String): Array[Byte] =
+    Array.tabulate(hex.length / 2)(i =>
+      Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte)
+
+  /** md5-derived image: dims 1..8 from the first two digest bytes, RGB
+    * raster = digest bytes cycled from index 2; even doc_id → PPM, odd →
+    * BMP (both decoder lanes exercised). The DuckDB oracle recomputes the
+    * same rule symbolically. */
+  def payloadFor(docId: Long, digest: Array[Byte]): Array[Byte] = {
+    val w = 1 + (digest(0) & 0xff) % 8
+    val h = 1 + (digest(1) & 0xff) % 8
+    val rgb = Array.tabulate(3 * w * h)(j => digest((j + 2) % digest.length))
+    if (docId % 2 == 0) encodePpm(w, h, rgb) else encodeBmp(w, h, rgb)
+  }
+
+  /** Attach a real encoded image payload derived from the text column
+    * (test stand-in for a real media blob column in the source table). */
+  def withPayload(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id").cast("long").as("doc_id"), md5(col("text")).as("hex"))
+      .as[(Long, String)]
+      .map { case (id, hex) => MediaRow(id, payloadFor(id, hexBytes(hex))) }
+      .toDF()
+  }
+
+  /** Decode kernel over one batch: parse each payload with the real codec,
+    * derive metadata + a FeatureDim vector from the DECODED raster. */
+  def decodeBatch(batch: Seq[MediaRow]): Seq[DecodedRow] = batch.map { r =>
+    val (w, h, rgb) = decodeImage(r.payload)
+    val n = rgb.length
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += rgb(i) & 0xff; i += 1 }
+    val mean = sum.toDouble / n
+    val features = Array.tabulate(FeatureDim) { i =>
+      ((rgb(i % n) & 0xff) + (rgb((i * 3 + 1) % n) & 0xff)).toFloat / 510.0f
+    }
+    DecodedRow(r.doc_id, r.payload.length, w, h, 3, mean, features)
   }
 
   /** Batched decode over partitions: groups the partition iterator into
@@ -61,17 +209,14 @@ object Multimodal {
     }
   }
 
-  /** Frame-sampling stub: every `stride`-th byte as a "frame" (a video
-    * decoder would emit keyframe offsets); pure expression, no kernel. */
+  /** Frame-sampling: every `stride`-th byte as a "frame" (a video decoder
+    * would emit keyframe offsets); pure expression, no kernel. */
   def frameSample(payload: org.apache.spark.sql.Column, stride: Int): org.apache.spark.sql.Column =
     transform(sequence(lit(1), ((length(payload) + (stride - 1)) / stride).cast("int")),
       i => payload.substr((i - 1) * stride + 1, lit(1)))
 
   def decodeDocuments(spark: SparkSession, documents: DataFrame): Dataset[DecodedRow] = {
     import spark.implicits._
-    val media = withPayload(documents)
-      .select(col("doc_id").cast("long").as("doc_id"), col("payload"))
-      .as[MediaRow]
-    decode(media)
+    decode(withPayload(documents).as[MediaRow])
   }
 }

@@ -22,18 +22,20 @@ import org.apache.spark.sql.functions._
   *
   * Contract: right rows must be unique per (key, ts) — pre-aggregate if
   * not (ties would otherwise resolve by sort position, not a defined rule).
-  * Skew note: one pathological key still serializes one partition; the
-  * standard fix is range-bucketing ts within the hot key and carrying the
-  * bucket-boundary payload forward in a second tiny pass (same stitching
-  * the salted session engine does — streaming/SaltedSession.scala).
+  * Skew note: one pathological key still serializes one partition in
+  * [[backward]]; [[backwardBucketed]] is the hot-key path — range-bucketed
+  * ts within each key plus a tiny boundary-stitching pass (the same
+  * stitching the salted session engine does — streaming/SaltedSession
+  * .scala).
   */
 object AsofJoin {
 
-  /** Left columns + `payload` columns from the matched right row (null
-    * struct fields when no right row precedes). `key` and `ts` must exist
-    * on both sides; `payload` names must not collide with left columns. */
-  def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
-      payload: Seq[String]): DataFrame = {
+  /** Marked union of the two sides: left rows carry __side=1 and a null
+    * payload struct, right rows carry __side=0 and their payload packed in
+    * one non-null struct (so legitimately-null payload fields survive the
+    * ignoreNulls carry). */
+  private def marked(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String]): (DataFrame, Seq[String]) = {
     val leftRest = left.columns.toSeq.filterNot(c => c == key || c == ts)
     val payloadType = org.apache.spark.sql.types.StructType(
       right.select(payload.map(col): _*).schema.fields)
@@ -44,10 +46,72 @@ object AsofJoin {
       Seq(col(key), col(ts), lit(0).as("__side")) ++
         leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(payload.map(col): _*).as("__payload"): _*)
+    (l.unionByName(r), leftRest)
+  }
+
+  /** Left columns + `payload` columns from the matched right row (null
+    * struct fields when no right row precedes). `key` and `ts` must exist
+    * on both sides; `payload` names must not collide with left columns. */
+  def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String]): DataFrame = {
+    val (u, leftRest) = marked(left, right, key, ts, payload)
     val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
-      .withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
+    u.withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(Seq(col(key), col(ts)) ++ leftRest.map(col) ++
+        payload.map(c => col("__payload").getField(c).as(c)): _*)
+  }
+
+  /** Hot-key variant: value-identical to [[backward]] (AsofJoinSpec
+    * asserts row equality; the q7_asof_join_bucketed oracle is DuckDB's
+    * native ASOF JOIN) but skew-immune — no single key ever serializes
+    * into one task.
+    *
+    * Each key's rows are split into ≤ `numBuckets` ts-range buckets
+    * (global fixed-width slices — monotone in ts, map-only, no per-key
+    * statistics). The carry-forward window then runs per (key, bucket):
+    * task size is bounded by bucket occupancy, not key frequency. A left
+    * row whose match lies in an EARLIER bucket is stitched by a second
+    * pass over the TINY bucket-level frame (≤ keys × numBuckets rows):
+    * each bucket's last right payload, cumulated per key with the same
+    * ignoreNulls carry, broadcast-joined back as the carry-in, and
+    * `coalesce(local, carry_in)` resolves every row. Shape: one bounded
+    * (key, bucket) exchange + one tiny aggregate + one broadcast join —
+    * vs [[backward]]'s single unbounded key exchange.
+    *
+    * `ts` must be numeric/castable to double (bucket arithmetic; the
+    * bucket function only needs monotonicity, so double rounding is
+    * harmless). The global (min, max) of ts is read up front — one
+    * two-double aggregate. Degenerate limit: rows of one key at ONE
+    * identical ts still share a bucket (nothing orders them anyway);
+    * many-distinct-keys workloads should prefer [[backward]], whose
+    * single window needs no bucket-level broadcast. */
+  def backwardBucketed(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String], numBuckets: Int = 32): DataFrame = {
+    require(numBuckets >= 2, s"numBuckets must be ≥ 2, got $numBuckets")
+    val (u0, leftRest) = marked(left, right, key, ts, payload)
+    val rngRow = u0.agg(min(col(ts).cast("double")), max(col(ts).cast("double"))).head
+    if (rngRow.isNullAt(0)) return backward(left, right, key, ts, payload) // empty input
+    val gLo = rngRow.getDouble(0)
+    val width = math.max((rngRow.getDouble(1) - gLo) / numBuckets, java.lang.Double.MIN_VALUE)
+    val u = u0.withColumn("__bucket",
+      least(floor((col(ts).cast("double") - gLo) / width).cast("int"), lit(numBuckets - 1)))
+    val wLocal = Window.partitionBy(key, "__bucket").orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = u.withColumn("__local", last(col("__payload"), ignoreNulls = true).over(wLocal))
+    // bucket-level lasts (right rows only) → per-key cumulative carry-in
+    val bucketLast = u.filter(col("__side") === 0)
+      .groupBy(key, "__bucket")
+      .agg(max_by(col("__payload"), col(ts)).as("__blast"))
+    val wCarry = Window.partitionBy(key).orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = u.select(col(key), col("__bucket")).distinct()
+      .join(bucketLast, Seq(key, "__bucket"), "left")
+      .withColumn("__carry", last(col("__blast"), ignoreNulls = true).over(wCarry))
+      .select(col(key), col("__bucket"), col("__carry"))
+    local.join(broadcast(carry), Seq(key, "__bucket"))
+      .withColumn("__payload", coalesce(col("__local"), col("__carry")))
       .filter(col("__side") === 1)
       .select(Seq(col(key), col(ts)) ++ leftRest.map(col) ++
         payload.map(c => col("__payload").getField(c).as(c)): _*)

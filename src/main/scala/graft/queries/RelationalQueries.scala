@@ -151,5 +151,34 @@ object RelationalQueries {
         Seq("last_click_id", "click_us"))
         .select(col("event_id"), col("user_id"), col("us"), col("last_click_id"),
           (col("us") - col("click_us")).as("gap_us"))
+    },
+
+    // The hot-key as-of path: same semantics and oracle as q7_asof_join but
+    // through the ts-range-bucketed two-pass formulation (bounded tasks at
+    // any key skew — operators/AsofJoin.backwardBucketed).
+    Q("q7_asof_join_bucketed",
+      """WITH clicks AS (
+        |  SELECT user_id, epoch_us(ts) AS us, max(event_id) AS last_click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |), purchases AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, p.user_id, p.us, c.last_click_id,
+        |  p.us - c.us AS gap_us
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.us <= p.us""".stripMargin) { (s, dir) =>
+      import graft.operators.AsofJoin
+      val ev = Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "us").agg(max("event_id").as("last_click_id"))
+        .withColumn("click_us", col("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "us")
+      AsofJoin.backwardBucketed(purchases, clicks, "user_id", "us",
+        Seq("last_click_id", "click_us"), numBuckets = 16)
+        .select(col("event_id"), col("user_id"), col("us"), col("last_click_id"),
+          (col("us") - col("click_us")).as("gap_us"))
     })
 }

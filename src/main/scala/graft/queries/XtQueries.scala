@@ -266,5 +266,63 @@ object XtQueries {
       val model = XThreat.fit(a)
       a.withColumn("xt_value", XThreat.rateInterpColumn(model))
         .select("game_id", "action_id", "seq", "xt_value")
+    },
+
+    // The reference-compat interpolation flag (XThreat.scala compat
+    // section): upstream's interp2d double-flip cancels exactly, leaving
+    // its 1050×680 lattice QUANTIZATION of the query point as the only
+    // observable deviation — reproduced here by snapping coordinates
+    // before the same closed-form bilinear, oracle-mirrored.
+    Q("xt_rate_interp_ref", {
+      val l = XThreat.DefaultL
+      val w = XThreat.DefaultW
+      val cw = graft.core.Spadl.FieldLength / l
+      val ch = graft.core.Spadl.FieldWidth / w
+      def interpSql(p: String): String = {
+        val fx = s"($p" + s"gx - $p" + "x0)"
+        val fy = s"($p" + s"gy - $p" + "y0)"
+        def at(rowExpr: String, colExpr: String) =
+          s"list_extract(grid, (${w - 1} - ($rowExpr)) * $l + ($colExpr) + 1)"
+        s"""${at(s"${p}y0", s"${p}x0")} * (1 - $fx) * (1 - $fy)
+           | + ${at(s"${p}y0", s"${p}x0 + 1")} * $fx * (1 - $fy)
+           | + ${at(s"${p}y0 + 1", s"${p}x0")} * (1 - $fx) * $fy
+           | + ${at(s"${p}y0 + 1", s"${p}x0 + 1")} * $fx * $fy""".stripMargin.replace("\n", "")
+      }
+      def snapX(c: String) =
+        s"least(greatest(CAST(floor($c / 105.0 * 1050) AS INT), 0), 1049) * (105.0::DOUBLE / 1049)"
+      def snapY(c: String) =
+        s"68.0::DOUBLE - (679 - least(greatest(CAST(floor($c / 68.0 * 680) AS INT), 0), 679)) * (68.0::DOUBLE / 679)"
+      s"""$fitStatsCtes, $convergedChainCtes, gl AS MATERIALIZED (
+         |  SELECT list(v ORDER BY cell) AS grid FROM it$MaxSolveSteps
+         |), snap AS (
+         |  SELECT game_id, action_id, seq, type_id, result_id,
+         |    ${snapX("start_x")} AS sxs, ${snapY("start_y")} AS sys,
+         |    ${snapX("end_x")} AS exs, ${snapY("end_y")} AS eys
+         |  FROM actions
+         |), pts AS (
+         |  SELECT game_id, action_id, seq, type_id, result_id,
+         |    least(greatest(sxs / $cw - 0.5, 0.0), ${l - 1}.0) AS sgx,
+         |    least(greatest(sys / $ch - 0.5, 0.0), ${w - 1}.0) AS sgy,
+         |    least(greatest(exs / $cw - 0.5, 0.0), ${l - 1}.0) AS egx,
+         |    least(greatest(eys / $ch - 0.5, 0.0), ${w - 1}.0) AS egy
+         |  FROM snap
+         |), idx AS (
+         |  SELECT *,
+         |    least(CAST(floor(sgx) AS INT), ${l - 2}) AS sx0,
+         |    least(CAST(floor(sgy) AS INT), ${w - 2}) AS sy0,
+         |    least(CAST(floor(egx) AS INT), ${l - 2}) AS ex0,
+         |    least(CAST(floor(egy) AS INT), ${w - 2}) AS ey0
+         |  FROM pts
+         |)
+         |SELECT game_id, action_id, seq,
+         |  CASE WHEN $moveSql AND result_id = 1
+         |       THEN (${interpSql("e")}) - (${interpSql("s")})
+         |  END AS xt_value
+         |FROM idx, gl""".stripMargin
+    }) { (s, dir) =>
+      val a = actions(s, dir)
+      val model = XThreat.fit(a)
+      a.withColumn("xt_value", XThreat.rateInterpRefCompatColumn(model))
+        .select("game_id", "action_id", "seq", "xt_value")
     })
 }

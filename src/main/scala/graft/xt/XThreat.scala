@@ -175,14 +175,13 @@ object XThreat {
     * reference's scipy `interp2d`, `xthreat.py:347-378`): value at (x, y)
     * interpolates the 4 surrounding cell-center values, clamped at borders.
     *
-    * DELIBERATE DEVIATION: the reference pairs xT row 0 (the HIGH-y band,
-    * since the flat index is (w−1−yj)·l+xi) with the LOWEST-y cell center
-    * when building its interp2d input, producing a vertically mirrored
-    * surface that `rate(use_interpolation=True)` then indexes with another
-    * flip. This implementation maps rows to physical y directly, so
-    * interpolated values differ from socceraction's at any y-asymmetric
-    * point — parity tests against upstream's interpolated ratings are not
-    * expected to match (the non-interpolated path IS value-identical). */
+    * This is the CLEAN path: rows map to physical y directly and the query
+    * point is evaluated exactly. The reference's double-flip +
+    * fine-lattice composition is available behind the
+    * [[interpolateColumnRefCompat]] / [[rateInterpRefCompatColumn]] flag
+    * surface — see the reference-compat section below for the proof that
+    * upstream's two flips cancel and the residual deviation is lattice
+    * quantization of the query point. */
   /** Column form of [[interpolate]] — the same closed-form bilinear math as
     * Column expressions over the surface literal, so `rate` with
     * interpolation is a map-only codegen'd projection exactly like the
@@ -230,5 +229,76 @@ object XThreat {
     def v(yj: Int, xi: Int) = model.xT((model.w - 1 - yj) * model.l + xi)
     v(y0, x0) * (1 - fx) * (1 - fy) + v(y0, x0 + 1) * fx * (1 - fy) +
       v(y0 + 1, x0) * (1 - fx) * fy + v(y0 + 1, x0 + 1) * fx * fy
+  }
+
+  // ---- reference-compat interpolation (flagged) ------------------------
+  // socceraction's `rate(use_interpolation=True)` does NOT evaluate the
+  // bilinear at the query point. It (a) builds interp2d over ascending
+  // cell centers with z = xT in flat-index row order — row 0 is the
+  // HIGH-y band paired with the LOWEST y center, i.e. a vertically
+  // MIRRORED surface; (b) samples it on a 1050×680 lattice
+  // xs = linspace(0, 105, 1050), ys = linspace(0, 68, 680); (c) indexes
+  // the lattice with a SECOND flip, grid[(W−1)−yj, xi] with
+  // xi = clip(int(x/105·1050)), yj = clip(int(y/68·680))
+  // (`xthreat.py:347-437`). Writing M(yy,xx) for the mirrored bilinear and
+  // P for the physical one, M(yy, xx) = P(68 − yy, xx) — at any row r,
+  // M's value at center (r+½)ch is xT row r = physical band w−1−r, which
+  // sits at center 68 − (r+½)ch; clamped extrapolation is symmetric too.
+  // So step (c) returns P(68 − ys[(W−1)−yj], xs[xi]): the two flips CANCEL
+  // and the net observable deviation from the clean path is only the
+  // LATTICE QUANTIZATION of the query point. The compat path reproduces
+  // exactly that composition in closed form. Bit-level parity with
+  // scipy's FITPACK degree-1 spline is out of scope — and unverifiable
+  // upstream: interp2d was deprecated in scipy 1.10 and REMOVED in 1.14,
+  // so the reference's interpolation path no longer runs on current scipy.
+
+  /** The reference's 1050×680 lattice snap with its double flip:
+    * (x, y) → (xs[xi], 68 − ys[(W−1)−yj]), float-op order mirrored from
+    * numpy (`linspace` value = index · step; `int()` truncation = floor
+    * for the non-negative SPADL domain). */
+  def snapRefLattice(x: Column, y: Column): (Column, Column) = {
+    val fineL = (Spadl.FieldLength * 10).toInt // 1050
+    val fineW = (Spadl.FieldWidth * 10).toInt // 680
+    val xi = least(greatest(
+      floor(x / Spadl.FieldLength * fineL).cast("int"), lit(0)), lit(fineL - 1))
+    val yj = least(greatest(
+      floor(y / Spadl.FieldWidth * fineW).cast("int"), lit(0)), lit(fineW - 1))
+    (xi.cast("double") * (Spadl.FieldLength / (fineL - 1)),
+      lit(Spadl.FieldWidth) -
+        (lit(fineW - 1) - yj).cast("double") * (Spadl.FieldWidth / (fineW - 1)))
+  }
+
+  /** Column form of the reference-compat interpolation: lattice-snap, then
+    * the same closed-form physical bilinear. Oracle-checked end to end by
+    * `xt_rate_interp_ref`; scalar twin [[interpolateRefCompat]] is
+    * bit-asserted in XThreatSpec. */
+  def interpolateColumnRefCompat(grid: Column, x: Column, y: Column,
+                                 l: Int = DefaultL, w: Int = DefaultW): Column = {
+    val (xs, ys) = snapRefLattice(x, y)
+    interpolateColumn(grid, xs, ys, l, w)
+  }
+
+  /** M7 with the reference-compat interpolation path (the flag surface:
+    * `refCompat = true` selects upstream's quantized-lattice semantics,
+    * default stays the clean bilinear of [[rateInterpColumn]]). */
+  def rateInterpRefCompatColumn(model: Model): Column = {
+    val grid = typedLit(model.xT.toSeq)
+    when(isMoveAction && col("result_id") === Spadl.ResultSuccess,
+      interpolateColumnRefCompat(grid, col("end_x"), col("end_y"), model.l, model.w) -
+        interpolateColumnRefCompat(grid, col("start_x"), col("start_y"), model.l, model.w))
+      .otherwise(lit(null).cast("double"))
+  }
+
+  /** Scalar twin of [[interpolateColumnRefCompat]]. */
+  def interpolateRefCompat(model: Model, x: Double, y: Double): Double = {
+    val fineL = (Spadl.FieldLength * 10).toInt
+    val fineW = (Spadl.FieldWidth * 10).toInt
+    val xi = math.min(math.max(math.floor(x / Spadl.FieldLength * fineL), 0.0),
+      fineL - 1.0).toInt
+    val yj = math.min(math.max(math.floor(y / Spadl.FieldWidth * fineW), 0.0),
+      fineW - 1.0).toInt
+    val xs = xi * (Spadl.FieldLength / (fineL - 1))
+    val ys = Spadl.FieldWidth - (fineW - 1 - yj) * (Spadl.FieldWidth / (fineW - 1))
+    interpolate(model, xs, ys)
   }
 }

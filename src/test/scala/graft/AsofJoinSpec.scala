@@ -70,4 +70,45 @@ class AsofJoinSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("join"))
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1)
   }
+
+  test("bucketed variant equals backward on edge cases and pseudo-random data") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (0 until r.length).map(i =>
+        if (r.isNullAt(i)) null else r.get(i)).toList).toSet
+    assert(canon(AsofJoin.backwardBucketed(left, right, "k", "ts", Seq("rid", "rv"), 4)) ==
+      canon(AsofJoin.backward(left, right, "k", "ts", Seq("rid", "rv"))))
+    val l = (0 until 400).map(i =>
+      ((i * 13L) % 7, (i * 7919L) % 500, i.toLong)).toDF("k", "ts", "lid")
+    val r = (0 until 300).map(i =>
+      ((i * 17L) % 7, (i * 104729L) % 500, 1000L + i)).toDF("k", "ts", "rid")
+      .groupBy("k", "ts").agg(max("rid").as("rid"))
+    for (b <- Seq(2, 5, 64))
+      assert(canon(AsofJoin.backwardBucketed(l, r, "k", "ts", Seq("rid"), b)) ==
+        canon(AsofJoin.backward(l, r, "k", "ts", Seq("rid"))), s"buckets=$b")
+  }
+
+  test("bucketed variant: ONE hot key splits across (key, bucket) tasks") {
+    // 20k left + 2k right rows, all on a single key — the case that
+    // serializes backward's window into one task
+    val l = (0 until 20000).map(i => (1L, (i * 7919L) % 100000, i.toLong))
+      .toDF("k", "ts", "lid")
+    val r = (0 until 2000).map(i => (1L, (i * 104729L) % 100000, 1000000L + i))
+      .toDF("k", "ts", "rid").groupBy("k", "ts").agg(max("rid").as("rid"))
+    val out = AsofJoin.backwardBucketed(l, r, "k", "ts", Seq("rid"), numBuckets = 16)
+    // value parity with the serial form on the hot key
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3))).toSet
+    assert(canon(out) == canon(AsofJoin.backward(l, r, "k", "ts", Seq("rid"))))
+    // plan shape: the corpus carry window is keyed (k, __bucket) — 16
+    // independent groups for this key, multi-task under hash partitioning
+    // — and only the tiny bucket-level carry window is keyed by k alone
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = out.queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.exists(_.partitionSpec.size == 2))
+    val keyOnly = wins.filter(_.partitionSpec.size == 1)
+    assert(keyOnly.nonEmpty)
+    assert(keyOnly.forall(w => w.child.collectFirst { case a: Aggregate => a }.nonEmpty))
+  }
 }

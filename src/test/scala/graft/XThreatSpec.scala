@@ -155,6 +155,42 @@ class XThreatSpec extends SparkSpec {
     }
   }
 
+  test("reference-compat interpolation: column == scalar, quantization semantics") {
+    import org.apache.spark.sql.functions._
+    val actions = df(
+      row(10, 10, 90, 34, 11, 1, 0),
+      row(20, 20, 80, 30, 0, 1, 1),
+      row(30, 40, 70, 20, 21, 1, 2),
+      row(80, 30, 95, 34, 11, 1, 3))
+    val fitted = XThreat.fit(actions)
+    // an everywhere-varying synthetic surface so quantization is visible
+    // at ANY probe point (a sparse fitted surface is 0 in most cells)
+    val vals = Array.tabulate(fitted.l * fitted.w)(c => (c * 37 % 100) / 1000.0)
+    val m = fitted.copy(xT = vals)
+    val pts = for (x <- Seq(0.0, 0.1, 3.28125, 10.0, 52.5, 101.7, 105.0);
+                   y <- Seq(0.0, 2.833, 5.0, 34.0, 60.0, 68.0)) yield (x, y)
+    val grid = typedLit(m.xT.toSeq)
+    val got = pts.toDF("x", "y")
+      .select(XThreat.interpolateColumnRefCompat(grid, col("x"), col("y"), m.l, m.w))
+      .collect().map(_.getDouble(0))
+    pts.zip(got).foreach { case ((x, y), g) =>
+      assert(java.lang.Double.doubleToLongBits(g) ==
+        java.lang.Double.doubleToLongBits(XThreat.interpolateRefCompat(m, x, y)), s"($x,$y)")
+    }
+    // the double flip cancels: compat == clean at lattice-snapped coords,
+    // and the residual deviation is ONLY quantization — points inside the
+    // same 0.1×0.1 lattice cell collapse to one value
+    assert(XThreat.interpolateRefCompat(m, 10.03, 20.07) ==
+      XThreat.interpolateRefCompat(m, 10.09, 20.01))
+    // clean path distinguishes them (y-varying surface)
+    assert(XThreat.interpolate(m, 10.03, 20.07) != XThreat.interpolate(m, 10.09, 20.01))
+    // compat deviates from clean by at most one lattice step of surface
+    // variation — sanity-bound the gap at a y-asymmetric point
+    val cleanV = XThreat.interpolate(m, 10.03, 20.07)
+    val compatV = XThreat.interpolateRefCompat(m, 10.03, 20.07)
+    assert(math.abs(cleanV - compatV) < 0.01, s"clean $cleanV vs compat $compatV")
+  }
+
   test("convergence margin: synthetic fixtures converge far below the oracle chain") {
     val actions = df(
       row(10, 10, 90, 34, 11, 1, 0),
