@@ -82,7 +82,10 @@ object ScalingBench {
       .select(explode(sequence(lit(0L), lit(k - 1L))).as("r"), col("doc_id"), col("text"))
       .select(format_string("d%04d%06d", col("r"), col("doc_id")).as("doc_id"),
         concat(col("text"), lit(" v"), col("r")).as("text"),
-        lit("s0").as("source"))
+        // one source, but DATA-derived (non-foldable) like a real corpus
+        // column — a literal would let Catalyst fold `source` out of the
+        // window partition specs and change the measured plan shape
+        format_string("s%d", col("doc_id") % 1).as("source"))
     val tokens = TokenPipeline.fromDocuments(docs)
     TokenPipeline.packChunks(tokens, chunkSize = 128)
       .write.mode("overwrite").format("noop").save()

@@ -50,8 +50,11 @@ object TokenQueries {
     * list_reduce fold is congruence-identical to the engine's prefix
     * rolling-hash kernel (Kernels.tokenWindowHashes) — combined hash =
     * h(mod 1e9+7) · 998244353 + h(mod 998244353), pure BIGINT math. */
-  private def polyWinFold(p: String): String =
-    s"list_reduce(list_prepend(0::BIGINT, tokens[pos:pos+15]), (acc, x) -> (acc * 31 + x) % $p)"
+  private def polyWinFoldW(p: String, w: Int): String =
+    s"list_reduce(list_prepend(0::BIGINT, tokens[pos:pos+${w - 1}]), (acc, x) -> (acc * 31 + x) % $p)"
+  private def polyWinFold(p: String): String = polyWinFoldW(p, 16)
+  private def winHashSqlW(w: Int): String =
+    s"${polyWinFoldW("1000000007", w)} * 998244353 + ${polyWinFoldW("998244353", w)}"
   private val dupSpanCtes =
     s""", w AS (
       |  SELECT doc_id, unnest(generate_series(1, n_tok - 15)) AS pos, tokens
@@ -205,6 +208,40 @@ object TokenQueries {
       TokenPipeline.lmScore(t, t)
     },
 
+    // Benchmark decontamination over the augmented corpus: benchmark = the
+    // deterministic stratified sample (3 docs/source in content-hash
+    // order), corpus docs flagged when any 8-token window hash collides
+    // with a benchmark window. The corpus never shuffles — windows explode
+    // map-only into a (stats-broadcast) join against the distinct
+    // benchmark hash set and only hits reach the per-doc aggregate.
+    Q("tokens_decontaminate",
+      s"""$augCte, ${tokensCte("aug")}, r AS (
+         |  SELECT doc_id, tokens, n_tok,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ('0x' || substring(md5(doc_id), 1, 15))::BIGINT, doc_id) AS rk
+         |  FROM t
+         |), cw AS (
+         |  SELECT doc_id, ${winHashSqlW(8)} AS win_hash
+         |  FROM (SELECT doc_id, tokens, unnest(generate_series(1, n_tok - 7)) AS pos
+         |        FROM t WHERE n_tok >= 8)
+         |), bw AS (
+         |  SELECT DISTINCT ${winHashSqlW(8)} AS win_hash
+         |  FROM (SELECT tokens, unnest(generate_series(1, n_tok - 7)) AS pos
+         |        FROM r WHERE rk <= 3 AND n_tok >= 8)
+         |)
+         |SELECT cw.doc_id, count(*) AS n_hit_windows,
+         |  count(DISTINCT cw.win_hash) AS n_distinct_hits
+         |FROM cw JOIN bw USING (win_hash)
+         |GROUP BY cw.doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = TokenPipeline.fromDocuments(augmented(s, dir))
+      val wRank = Window.partitionBy("source")
+        .orderBy(Dedup.md5Hash60(col("doc_id")), col("doc_id"))
+      val bench = t.withColumn("rk", row_number().over(wRank))
+        .filter(col("rk") <= 3).drop("rk")
+      TokenPipeline.contaminatedDocs(t, bench, w = 8)
+    },
+
     // Held-out LM scoring (CCNet's actual deployment shape: the quality
     // model is trained on a reference corpus, not the scored one): model =
     // the hashSplit train partition, scored = the val partition, so unseen
@@ -331,6 +368,24 @@ object TokenQueries {
       """SELECT DISTINCT md5(text) AS content_hash FROM documents""") { (s, dir) =>
       StreamRun.availableNow(documentsStream(s, dir)
         .select(md5(col("text")).as("content_hash")).dropDuplicates())
+    },
+
+    // Watermark-SCOPED streaming dedup — the bounded-state form of the
+    // gate above (dropDuplicates state grows forever; a 100 TB ingest
+    // dedup must expire state). Event time is synthesized deterministically
+    // from doc_id; state for a content hash expires once the watermark
+    // passes its event time (the cross-batch expiry/re-emit semantics are
+    // T-gated in StreamingSpec). Single AvailableNow batch here, so the
+    // emitted set is exactly the distinct hashes.
+    Q("stream_dedup_watermarked",
+      """SELECT DISTINCT md5(text) AS content_hash FROM documents""") { (s, dir) =>
+      StreamRun.availableNow(documentsStream(s, dir)
+        .withColumn("ts",
+          timestamp_seconds(lit(1700000000L) + col("doc_id").cast("long") % 1000))
+        .withWatermark("ts", "10 seconds")
+        .select(col("ts"), md5(col("text")).as("content_hash"))
+        .dropDuplicatesWithinWatermark("content_hash")
+        .select("content_hash"))
     },
 
     // Stateful streaming packer (streaming/StreamingPacker.scala): docs

@@ -116,6 +116,29 @@ object TokenPipeline {
         (col("n_tok") - coalesce(col("n_cut"), lit(0L))).as("n_kept"))
   }
 
+  /** Benchmark decontamination (the eval-overlap gate every training-data
+    * pipeline needs): flag corpus docs sharing any W-token window with a
+    * benchmark/eval set, by the same double-modulus rolling window hash as
+    * [[dupSpans]]. Returns one row per contaminated doc:
+    * (doc_id, n_hit_windows, n_distinct_hits).
+    *
+    * 100 TB shape: the benchmark side reduces to a DISTINCT window-hash
+    * set (eval suites are thousands of docs — broadcast by stats, never
+    * forced); the corpus side is a map-only kernel explode into that
+    * join, and only HIT rows reach the per-doc aggregation — the corpus
+    * itself is never shuffled. */
+  def contaminatedDocs(corpus: DataFrame, benchmark: DataFrame, w: Int = 8): DataFrame = {
+    def wins(df: DataFrame) = df.filter(col("n_tok") >= w)
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions.tokenWindowHashes(col("tokens"), w))
+          .as("win_hash"))
+    val benchHashes = wins(benchmark).select("win_hash").distinct()
+    wins(corpus).join(benchHashes, "win_hash")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_windows"),
+        countDistinct("win_hash").as("n_distinct_hits"))
+  }
+
   /** CCNet-style language-model quality score: per-doc mean log-likelihood
     * under an add-one-smoothed corpus bigram model,
     * p(b|a) = (c(a,b)+1) / (c(a)+V). Per-bigram logs are rounded to 9
@@ -171,39 +194,50 @@ object TokenPipeline {
     * The running-sum offset is a TWO-PHASE PREFIX SUM, not a
     * `Window.partitionBy(source)` running sum — that window clusters an
     * entire source into ONE task, so a 100 TB corpus with a handful of
-    * sources would compute its offsets on a handful of tasks. Here the
-    * corpus is range-partitioned on (source, doc_id) — so partition order
-    * agrees with the per-source doc order — then: (1) each task computes
-    * its LOCAL running sum (the window key includes the range-partition
-    * id, so no group exceeds one range partition); (2) per-(partition,
-    * source) token totals — a few rows per task — are cumulated into
-    * per-partition base offsets and broadcast back; off = base + local.
-    * Work per task is bounded by the range-partition size at ANY source
-    * skew, and the value of `off` — hence every downstream chunk — is
-    * identical to the single-window form (PackChunksSpec asserts;
-    * identical oracle). */
+    * sources would compute its offsets on a handful of tasks. And it runs
+    * over a 3-column METADATA projection (source, doc_id, n_tok) — the
+    * token arrays never ride the offset path: (0) the metadata frame is
+    * range-partitioned on (source, doc_id) — so partition order agrees
+    * with the per-source doc order — and PERSISTED (≈16 bytes/row; the
+    * standard fan-out materialization) so the two offset consumers share
+    * one scan, one shuffle, and one fixed `spark_partition_id`
+    * assignment; (1) each task computes its LOCAL running sum (the window
+    * key includes the range-partition id, so no group exceeds one range
+    * partition); (2) per-(partition, source) token totals — a few rows
+    * per task — are cumulated into per-partition base offsets and
+    * broadcast back; off = base + local, joined onto the token table by
+    * doc_id. Work per task is bounded by the range-partition size at ANY
+    * source skew, the heavy token payload moves only in the offset join
+    * and the chunk assembly, and the value of `off` — hence every
+    * downstream chunk — is identical to the single-window form
+    * (TokenPipelineSpec asserts; identical oracle). */
   def packChunks(tokens: DataFrame, chunkSize: Int = 128): DataFrame = {
     val c = chunkSize
     val nParts = tokens.sparkSession.sessionState.conf.numShufflePartitions
-    val parted = tokens.filter(col("n_tok") > 0)
+    val meta = tokens.filter(col("n_tok") > 0)
+      .select(col("source"), col("doc_id"), col("n_tok"))
       .repartitionByRange(nParts, col("source"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (1) local prefix within (range partition, source) — parallel across
     // the range partitions regardless of how few sources exist
     val localPrev = Window.partitionBy("pid", "source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val withLocal = parted
-      .withColumn("loff", coalesce(sum("n_tok").over(localPrev), lit(0L)).cast("long"))
     // (2) tiny per-(pid, source) totals → cumulative base offset of each
     // partition within its source (rows = partitions × sources touched,
-    // not corpus rows), broadcast back onto the corpus
+    // not corpus rows), broadcast back under the local prefixes
     val basePrev = Window.partitionBy("source").orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = parted.groupBy("pid", "source").agg(sum("n_tok").as("ptot"))
+    val bases = meta.groupBy("pid", "source").agg(sum("n_tok").as("ptot"))
       .withColumn("base", coalesce(sum("ptot").over(basePrev), lit(0L)).cast("long"))
       .select("pid", "source", "base")
-    val t = withLocal.join(broadcast(bases), Seq("pid", "source"))
-      .withColumn("off", col("base") + col("loff"))
+    val offsets = meta
+      .withColumn("loff", coalesce(sum("n_tok").over(localPrev), lit(0L)).cast("long"))
+      .join(broadcast(bases), Seq("pid", "source"))
+      // (source, doc_id) is the packing key — doc_ids need not be unique
+      // ACROSS sources
+      .select(col("source"), col("doc_id"), (col("base") + col("loff")).as("off"))
+    val t = tokens.filter(col("n_tok") > 0).join(offsets, Seq("source", "doc_id"))
     val gstart = greatest(col("off"), col("chunk_id") * c)
     val gend = least(col("off") + col("n_tok"), (col("chunk_id") + 1) * c)
     t.select(col("source"), col("off"), col("tokens"), col("n_tok"),

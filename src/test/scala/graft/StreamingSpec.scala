@@ -88,6 +88,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("watermark-scoped dedup: drops within the window, re-emits after state expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val out = input.toDF().toDF("ts", "content_hash")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select("content_hash")
+    val query = out.writeStream
+      .format("memory").queryName("dedup_wm").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt-wm").toString)
+      .start()
+    try {
+      def ts(ms: Long) = new java.sql.Timestamp(ms)
+      val base = 1700000000000L
+      input.addData(Seq((ts(base), "a"), (ts(base), "b")))
+      query.processAllAvailable()
+      assert(spark.table("dedup_wm").count() == 2) // first occurrences emit
+      // a duplicate within the watermark window is absorbed by state; the
+      // far-future row advances the watermark past a's expiry
+      input.addData(Seq((ts(base + 5000), "a"), (ts(base + 100000), "c")))
+      query.processAllAvailable()
+      assert(spark.table("dedup_wm").count() == 3) // only c emitted
+      // state for a expired (watermark ≈ base+90s) → the SAME hash is a
+      // fresh arrival again — the bounded-state semantics the unbounded
+      // dropDuplicates gate cannot provide
+      input.addData(Seq((ts(base + 100000), "a")))
+      query.processAllAvailable()
+      assert(spark.table("dedup_wm").filter($"content_hash" === "a").count() == 2)
+    } finally query.stop()
+  }
+
   test("snapshot sink: atomic versions, lineage, idempotent replay") {
     val dir = Files.createTempDirectory("snap").toString
     val table = new SnapshotTable(dir)

@@ -92,6 +92,22 @@ class TokenPipelineSpec extends SparkSpec {
     assert(srcOnly.forall(w => w.child.collectFirst { case a: Aggregate => a }.nonEmpty))
   }
 
+  test("contaminatedDocs flags exactly the docs sharing an 8-token window") {
+    val corpus = TokenPipeline.fromDocuments(docs(
+      ("b1", "one two three four five six seven eight nine", "s"),
+      ("c1", "zzz one two three four five six seven eight yyy", "s"),
+      ("c2", "totally different words with no shared window here at all", "s"),
+      ("c3", "short text", "s"))) // n_tok < 8 → can never be flagged
+    val bench = corpus.filter($"doc_id" === "b1")
+    val out = TokenPipeline.contaminatedDocs(corpus, bench, w = 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // b1 (9 tokens → 2 windows) self-hits both; c1 embeds exactly the
+    // first benchmark window ("one".."eight"); c2/c3 are clean
+    assert(out("b1") == ((2L, 2L)))
+    assert(out("c1") == ((1L, 1L)))
+    assert(out.keySet == Set("b1", "c1"))
+  }
+
   test("packChunks: chunk crossing a doc boundary concatenates in doc_id order") {
     val t = TokenPipeline.fromDocuments(docs(
       ("01", "a b c", "s1"), ("02", "d e f", "s1")))
