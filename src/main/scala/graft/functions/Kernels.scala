@@ -145,7 +145,10 @@ object Kernels {
     * `list_reduce(list_prepend(0::BIGINT, tokens[i:i+w-1]),
     * (acc, x) -> (acc * 31 + x) % p)` — the explicit zero seed makes the
     * fold congruence-identical to the prefix formulation. Token elements
-    * must be non-null ints (the tokenizer's contract). Empty when n < w. */
+    * must be non-null ints (the tokenizer's contract) — a null element
+    * THROWS rather than silently hashing as token 0, which would
+    * fabricate duplicate spans against every window containing a real
+    * 0-id token. Empty when n < w. */
   def tokenWindowHashes(tokens: ArrayData, w: Int): Array[Long] = {
     val n = tokens.numElements()
     if (n < w) return Array.emptyLongArray
@@ -155,6 +158,8 @@ object Kernels {
     val h2 = new Array[Long](n + 1)
     var i = 0
     while (i < n) {
+      if (tokens.isNullAt(i)) throw new IllegalArgumentException(
+        s"tokenWindowHashes: null token at index $i — token arrays must be null-free")
       val t = tokens.getInt(i).toLong
       h1(i + 1) = (h1(i) * 31 + t) % p1
       h2(i + 1) = (h2(i) * 31 + t) % p2

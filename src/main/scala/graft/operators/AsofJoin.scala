@@ -82,21 +82,35 @@ object AsofJoin {
     *
     * `ts` must be numeric/castable to double (bucket arithmetic; the
     * bucket function only needs monotonicity, so double rounding is
-    * harmless). The global (min, max) of ts is read up front — one
-    * two-double aggregate. Degenerate limit: rows of one key at ONE
-    * identical ts still share a bucket (nothing orders them anyway);
-    * many-distinct-keys workloads should prefer [[backward]], whose
-    * single window needs no bucket-level broadcast. */
+    * harmless); a NULL ts lands in bucket 0, where it sorts first like
+    * in [[backward]]'s global window, so null-ts rows keep identical
+    * semantics instead of falling out of the stitch join. The marked
+    * union is PERSISTED (spillable, LRU-evictable) — the global (min,
+    * max) probe plus the three consumers (local window, bucket lasts,
+    * bucket list) would otherwise re-run the upstream four times.
+    * Degenerate limit: rows of one key at ONE identical ts still share a
+    * bucket (nothing orders them anyway); many-distinct-keys workloads
+    * should prefer [[backward]], whose single window needs no
+    * bucket-level broadcast and no materialization. */
   def backwardBucketed(left: DataFrame, right: DataFrame, key: String, ts: String,
       payload: Seq[String], numBuckets: Int = 32): DataFrame = {
     require(numBuckets >= 2, s"numBuckets must be ≥ 2, got $numBuckets")
-    val (u0, leftRest) = marked(left, right, key, ts, payload)
+    val (u0p, leftRest) = marked(left, right, key, ts, payload)
+    // one materialization shared by the range probe + the 3 consumers
+    val u0 = u0p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rngRow = u0.agg(min(col(ts).cast("double")), max(col(ts).cast("double"))).head
-    if (rngRow.isNullAt(0)) return backward(left, right, key, ts, payload) // empty input
+    if (rngRow.isNullAt(0)) { // all-null/empty ts: nothing to bucket
+      u0.unpersist()
+      return backward(left, right, key, ts, payload)
+    }
     val gLo = rngRow.getDouble(0)
     val width = math.max((rngRow.getDouble(1) - gLo) / numBuckets, java.lang.Double.MIN_VALUE)
+    // coalesce BEFORE least: Spark's least() skips null operands, so
+    // least(null_bucket, max) would sweep null-ts rows into the LAST
+    // bucket (inheriting every carry) instead of bucket 0
     val u = u0.withColumn("__bucket",
-      least(floor((col(ts).cast("double") - gLo) / width).cast("int"), lit(numBuckets - 1)))
+      least(coalesce(floor((col(ts).cast("double") - gLo) / width).cast("int"), lit(0)),
+        lit(numBuckets - 1)))
     val wLocal = Window.partitionBy(key, "__bucket").orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = u.withColumn("__local", last(col("__payload"), ignoreNulls = true).over(wLocal))

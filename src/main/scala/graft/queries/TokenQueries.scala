@@ -153,7 +153,7 @@ object TokenQueries {
       s"""$augCte, ${tokensCte("aug")}$dupSpanCtes
          |, rk AS (
          |  SELECT doc_id, pos,
-         |    row_number() OVER (PARTITION BY win_hash ORDER BY TRY_CAST(doc_id AS BIGINT), doc_id, pos) AS rn
+         |    row_number() OVER (PARTITION BY win_hash ORDER BY TRY_CAST(doc_id AS BIGINT) NULLS FIRST, doc_id, pos) AS rn
          |  FROM d WHERE df >= 2
          |), cov AS (
          |  SELECT DISTINCT doc_id, pos + i - 1 AS cp

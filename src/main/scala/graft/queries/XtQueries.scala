@@ -223,45 +223,17 @@ object XtQueries {
     // Interpolated rating with the genuinely CONVERGED surface — the oracle
     // re-solves the surface via the freeze chain, lists it in cell order,
     // and evaluates the same closed-form bilinear (term order mirrored
-    // exactly, so doubles are bit-identical).
-    Q("xt_rate_interp", {
-      val l = XThreat.DefaultL
-      val w = XThreat.DefaultW
-      val cw = graft.core.Spadl.FieldLength / l
-      val ch = graft.core.Spadl.FieldWidth / w
-      def interpSql(p: String): String = {
-        val fx = s"($p" + s"gx - $p" + "x0)"
-        val fy = s"($p" + s"gy - $p" + "y0)"
-        def at(rowExpr: String, colExpr: String) =
-          s"list_extract(grid, (${w - 1} - ($rowExpr)) * $l + ($colExpr) + 1)"
-        s"""${at(s"${p}y0", s"${p}x0")} * (1 - $fx) * (1 - $fy)
-           | + ${at(s"${p}y0", s"${p}x0 + 1")} * $fx * (1 - $fy)
-           | + ${at(s"${p}y0 + 1", s"${p}x0")} * (1 - $fx) * $fy
-           | + ${at(s"${p}y0 + 1", s"${p}x0 + 1")} * $fx * $fy""".stripMargin.replace("\n", "")
-      }
-      s"""$fitStatsCtes, $convergedChainCtes, gl AS MATERIALIZED (
-         |  SELECT list(v ORDER BY cell) AS grid FROM it$MaxSolveSteps
-         |), pts AS (
-         |  SELECT game_id, action_id, seq, type_id, result_id,
-         |    least(greatest(start_x / $cw - 0.5, 0.0), ${l - 1}.0) AS sgx,
-         |    least(greatest(start_y / $ch - 0.5, 0.0), ${w - 1}.0) AS sgy,
-         |    least(greatest(end_x / $cw - 0.5, 0.0), ${l - 1}.0) AS egx,
-         |    least(greatest(end_y / $ch - 0.5, 0.0), ${w - 1}.0) AS egy
-         |  FROM actions
-         |), idx AS (
-         |  SELECT *,
-         |    least(CAST(floor(sgx) AS INT), ${l - 2}) AS sx0,
-         |    least(CAST(floor(sgy) AS INT), ${w - 2}) AS sy0,
-         |    least(CAST(floor(egx) AS INT), ${l - 2}) AS ex0,
-         |    least(CAST(floor(egy) AS INT), ${w - 2}) AS ey0
-         |  FROM pts
-         |)
-         |SELECT game_id, action_id, seq,
-         |  CASE WHEN $moveSql AND result_id = 1
-         |       THEN (${interpSql("e")}) - (${interpSql("s")})
-         |  END AS xt_value
-         |FROM idx, gl""".stripMargin
-    }) { (s, dir) =>
+    // exactly, so doubles are bit-identical). The clean and
+    // reference-compat variants share ONE oracle builder (interpOracle)
+    // parameterized by the coordinate-source CTE, so the bilinear tail
+    // cannot drift between them.
+    Q("xt_rate_interp",
+      interpOracle(
+        """snap AS (
+          |  SELECT game_id, action_id, seq, type_id, result_id,
+          |    start_x AS sxs, start_y AS sys, end_x AS exs, end_y AS eys
+          |  FROM actions
+          |)""".stripMargin)) { (s, dir) =>
       val a = actions(s, dir)
       val model = XThreat.fit(a)
       a.withColumn("xt_value", XThreat.rateInterpColumn(model))
@@ -274,55 +246,64 @@ object XtQueries {
     // observable deviation — reproduced here by snapping coordinates
     // before the same closed-form bilinear, oracle-mirrored.
     Q("xt_rate_interp_ref", {
-      val l = XThreat.DefaultL
-      val w = XThreat.DefaultW
-      val cw = graft.core.Spadl.FieldLength / l
-      val ch = graft.core.Spadl.FieldWidth / w
-      def interpSql(p: String): String = {
-        val fx = s"($p" + s"gx - $p" + "x0)"
-        val fy = s"($p" + s"gy - $p" + "y0)"
-        def at(rowExpr: String, colExpr: String) =
-          s"list_extract(grid, (${w - 1} - ($rowExpr)) * $l + ($colExpr) + 1)"
-        s"""${at(s"${p}y0", s"${p}x0")} * (1 - $fx) * (1 - $fy)
-           | + ${at(s"${p}y0", s"${p}x0 + 1")} * $fx * (1 - $fy)
-           | + ${at(s"${p}y0 + 1", s"${p}x0")} * (1 - $fx) * $fy
-           | + ${at(s"${p}y0 + 1", s"${p}x0 + 1")} * $fx * $fy""".stripMargin.replace("\n", "")
-      }
       def snapX(c: String) =
         s"least(greatest(CAST(floor($c / 105.0 * 1050) AS INT), 0), 1049) * (105.0::DOUBLE / 1049)"
       def snapY(c: String) =
         s"68.0::DOUBLE - (679 - least(greatest(CAST(floor($c / 68.0 * 680) AS INT), 0), 679)) * (68.0::DOUBLE / 679)"
-      s"""$fitStatsCtes, $convergedChainCtes, gl AS MATERIALIZED (
-         |  SELECT list(v ORDER BY cell) AS grid FROM it$MaxSolveSteps
-         |), snap AS (
-         |  SELECT game_id, action_id, seq, type_id, result_id,
-         |    ${snapX("start_x")} AS sxs, ${snapY("start_y")} AS sys,
-         |    ${snapX("end_x")} AS exs, ${snapY("end_y")} AS eys
-         |  FROM actions
-         |), pts AS (
-         |  SELECT game_id, action_id, seq, type_id, result_id,
-         |    least(greatest(sxs / $cw - 0.5, 0.0), ${l - 1}.0) AS sgx,
-         |    least(greatest(sys / $ch - 0.5, 0.0), ${w - 1}.0) AS sgy,
-         |    least(greatest(exs / $cw - 0.5, 0.0), ${l - 1}.0) AS egx,
-         |    least(greatest(eys / $ch - 0.5, 0.0), ${w - 1}.0) AS egy
-         |  FROM snap
-         |), idx AS (
-         |  SELECT *,
-         |    least(CAST(floor(sgx) AS INT), ${l - 2}) AS sx0,
-         |    least(CAST(floor(sgy) AS INT), ${w - 2}) AS sy0,
-         |    least(CAST(floor(egx) AS INT), ${l - 2}) AS ex0,
-         |    least(CAST(floor(egy) AS INT), ${w - 2}) AS ey0
-         |  FROM pts
-         |)
-         |SELECT game_id, action_id, seq,
-         |  CASE WHEN $moveSql AND result_id = 1
-         |       THEN (${interpSql("e")}) - (${interpSql("s")})
-         |  END AS xt_value
-         |FROM idx, gl""".stripMargin
+      interpOracle(
+        s"""snap AS (
+           |  SELECT game_id, action_id, seq, type_id, result_id,
+           |    ${snapX("start_x")} AS sxs, ${snapY("start_y")} AS sys,
+           |    ${snapX("end_x")} AS exs, ${snapY("end_y")} AS eys
+           |  FROM actions
+           |)""".stripMargin)
     }) { (s, dir) =>
       val a = actions(s, dir)
       val model = XThreat.fit(a)
       a.withColumn("xt_value", XThreat.rateInterpRefCompatColumn(model))
         .select("game_id", "action_id", "seq", "xt_value")
     })
+
+  /** Converged-surface interpolated-rating oracle over a coordinate-source
+    * CTE named `snap` exposing (game_id, action_id, seq, type_id,
+    * result_id, sxs, sys, exs, eys): the shared clamp/index/bilinear
+    * chain, term order mirroring XThreat.interpolateColumn exactly. */
+  private def interpOracle(snapCte: String): String = {
+    val l = XThreat.DefaultL
+    val w = XThreat.DefaultW
+    val cw = graft.core.Spadl.FieldLength / l
+    val ch = graft.core.Spadl.FieldWidth / w
+    def interpSql(p: String): String = {
+      val fx = s"($p" + s"gx - $p" + "x0)"
+      val fy = s"($p" + s"gy - $p" + "y0)"
+      def at(rowExpr: String, colExpr: String) =
+        s"list_extract(grid, (${w - 1} - ($rowExpr)) * $l + ($colExpr) + 1)"
+      s"""${at(s"${p}y0", s"${p}x0")} * (1 - $fx) * (1 - $fy)
+         | + ${at(s"${p}y0", s"${p}x0 + 1")} * $fx * (1 - $fy)
+         | + ${at(s"${p}y0 + 1", s"${p}x0")} * (1 - $fx) * $fy
+         | + ${at(s"${p}y0 + 1", s"${p}x0 + 1")} * $fx * $fy""".stripMargin.replace("\n", "")
+    }
+    s"""$fitStatsCtes, $convergedChainCtes, gl AS MATERIALIZED (
+       |  SELECT list(v ORDER BY cell) AS grid FROM it$MaxSolveSteps
+       |), $snapCte, pts AS (
+       |  SELECT game_id, action_id, seq, type_id, result_id,
+       |    least(greatest(sxs / $cw - 0.5, 0.0), ${l - 1}.0) AS sgx,
+       |    least(greatest(sys / $ch - 0.5, 0.0), ${w - 1}.0) AS sgy,
+       |    least(greatest(exs / $cw - 0.5, 0.0), ${l - 1}.0) AS egx,
+       |    least(greatest(eys / $ch - 0.5, 0.0), ${w - 1}.0) AS egy
+       |  FROM snap
+       |), idx AS (
+       |  SELECT *,
+       |    least(CAST(floor(sgx) AS INT), ${l - 2}) AS sx0,
+       |    least(CAST(floor(sgy) AS INT), ${w - 2}) AS sy0,
+       |    least(CAST(floor(egx) AS INT), ${l - 2}) AS ex0,
+       |    least(CAST(floor(egy) AS INT), ${w - 2}) AS ey0
+       |  FROM pts
+       |)
+       |SELECT game_id, action_id, seq,
+       |  CASE WHEN $moveSql AND result_id = 1
+       |       THEN (${interpSql("e")}) - (${interpSql("s")})
+       |  END AS xt_value
+       |FROM idx, gl""".stripMargin
+  }
 }

@@ -64,6 +64,12 @@ object StreamingPacker {
         s"StreamingPacker ordering contract violated for source '$source': " +
           s"doc_id '$lo' arrived after '$seen' was already packed — doc_ids must be " +
           "lexicographically monotonic across micro-batches (zero-pad numeric ids)")
+    // replays WITHIN one micro-batch are equally silent divergence:
+    // after the sort they sit adjacent, so one pass catches them
+    for (Seq(a, b) <- sorted.sliding(2) if a.doc_id == b.doc_id)
+      throw new IllegalStateException(
+        s"StreamingPacker received doc_id '${a.doc_id}' twice in one micro-batch " +
+          s"for source '$source' — replayed docs would be packed twice")
     val maxSeen = (st.maxDocId ++ sorted.lastOption.map(_.doc_id))
       .reduceOption((a, b) => if (a >= b) a else b)
     var buf = st.buffer

@@ -98,9 +98,12 @@ object TokenPipeline {
   def dupSpanCutStats(tokens: DataFrame, w: Int = 16): DataFrame = {
     val dup = dupSpans(tokens, w)
     // numeric-first keeper order with the raw string as tiebreaker: for
-    // non-numeric ids the bigint cast is NULL for every row (NULLS FIRST
-    // both engines), and the string doc_id keeps the order total — without
-    // it the keeper among ties would be partition-order-dependent
+    // non-numeric ids the bigint cast is NULL and the string doc_id keeps
+    // the order total — without it the keeper among ties would be
+    // partition-order-dependent. Null placement is ENGINE-DIVERGENT by
+    // default (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST), so the
+    // oracle pins NULLS FIRST explicitly to match Spark on mixed-id
+    // corpora.
     val keeper = Window.partitionBy("win_hash")
       .orderBy(expr("try_cast(doc_id AS bigint)"), col("doc_id"), col("pos"))
     val cut = dup.withColumn("rn", row_number().over(keeper))
@@ -199,9 +202,11 @@ object TokenPipeline {
     * token arrays never ride the offset path: (0) the metadata frame is
     * range-partitioned on (source, doc_id) — so partition order agrees
     * with the per-source doc order — and PERSISTED (≈16 bytes/row; the
-    * standard fan-out materialization) so the two offset consumers share
-    * one scan, one shuffle, and one fixed `spark_partition_id`
-    * assignment; (1) each task computes its LOCAL running sum (the window
+    * standard fan-out materialization; MEMORY_AND_DISK blocks are
+    * LRU-evictable, so repeated pack jobs in one long session degrade to
+    * recompute rather than accumulate — `spark.catalog.clearCache()`
+    * reclaims eagerly) so the two offset consumers share one scan, one
+    * shuffle, and one fixed `spark_partition_id` assignment; (1) each task computes its LOCAL running sum (the window
     * key includes the range-partition id, so no group exceeds one range
     * partition); (2) per-(partition, source) token totals — a few rows
     * per task — are cumulated into per-partition base offsets and

@@ -85,6 +85,14 @@ class AsofJoinSpec extends SparkSpec {
     for (b <- Seq(2, 5, 64))
       assert(canon(AsofJoin.backwardBucketed(l, r, "k", "ts", Seq("rid"), b)) ==
         canon(AsofJoin.backward(l, r, "k", "ts", Seq("rid"))), s"buckets=$b")
+    // null-ts left rows survive the bucketed stitch (bucket 0), matching
+    // backward instead of vanishing from the equi-join
+    val lNull = Seq((1L, Some(10L), "p1"), (1L, None, "pN"), (3L, None, "qN"))
+      .toDF("k", "ts", "tag")
+    val rSmall = Seq((1L, 5L, 100L)).toDF("k", "ts", "rid")
+    val bucketed = AsofJoin.backwardBucketed(lNull, rSmall, "k", "ts", Seq("rid"), 4)
+    assert(bucketed.count() == 3)
+    assert(canon(bucketed) == canon(AsofJoin.backward(lNull, rSmall, "k", "ts", Seq("rid"))))
   }
 
   test("bucketed variant: ONE hot key splits across (key, bucket) tasks") {

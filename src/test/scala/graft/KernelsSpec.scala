@@ -123,5 +123,14 @@ class KernelsSpec extends SparkSpec {
         TextExpressions.tokenWindowHashes(col("tokens"), w).as("k"), hof(w).as("h"))
       assert(d.filter(!(col("k") <=> col("h"))).count() == 0, s"w=$w")
     }
+    // a null token element fails loudly instead of hashing as id 0 and
+    // fabricating duplicate spans
+    val err = intercept[Throwable] {
+      Seq(Seq(Some(1), None, Some(3))).toDF("tokens")
+        .select(TextExpressions.tokenWindowHashes(col("tokens"), 2)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("null token")), messages(err).mkString(" | "))
   }
 }

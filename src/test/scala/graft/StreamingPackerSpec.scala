@@ -56,6 +56,12 @@ class StreamingPackerSpec extends SparkSpec {
     val (out2, st2) = StreamingPacker.packGroup("s",
       Seq(TokenDoc("0006", Nil, 0, "s")), st, 4)
     assert(out2.isEmpty && st2.maxDocId.contains("0006"))
+    // a replay WITHIN one micro-batch is the same silent divergence
+    val sameBatch = intercept[IllegalStateException] {
+      StreamingPacker.packGroup("s",
+        Seq(doc(7, "s", 1 to 3), doc(7, "s", 1 to 3)), st2, 4)
+    }
+    assert(sameBatch.getMessage.contains("twice in one micro-batch"))
   }
 
   test("multi-batch streaming equals single-batch packing on full chunks") {
