@@ -325,6 +325,62 @@ object TokenQueries {
         .agg(count(lit(1)).as("cnt"))
     },
 
+    // Gopher-style repetition signals (Rae et al. 2021 §A1.1, token-level):
+    // the most frequent token's coverage and the most frequent bigram's
+    // token coverage per doc, plus the combined pass flag. Two
+    // partial-agg explode shuffles; fractions are single exact divisions
+    // of integer counts (engine-identical doubles).
+    Q("tokens_repetition_stats",
+      s"""WITH ${tokensCte("documents")}, ex AS (
+         |  SELECT doc_id, unnest(tokens) AS tok FROM t WHERE n_tok >= 1
+         |), t1 AS (
+         |  SELECT doc_id, max(c) AS top_token_cnt
+         |  FROM (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2)
+         |  GROUP BY doc_id
+         |), bg AS (
+         |  SELECT doc_id, tokens[i] AS a, tokens[i + 1] AS b
+         |  FROM (SELECT doc_id, tokens, unnest(generate_series(1, n_tok - 1)) AS i
+         |        FROM t WHERE n_tok >= 2)
+         |), t2 AS (
+         |  SELECT doc_id, max(c) AS top_bigram_cnt
+         |  FROM (SELECT doc_id, a, b, count(*) AS c FROM bg GROUP BY 1, 2, 3)
+         |  GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, t.source, t.n_tok,
+         |  t1.top_token_cnt,
+         |  t1.top_token_cnt / t.n_tok AS top_token_frac,
+         |  coalesce(t2.top_bigram_cnt, 0) AS top_bigram_cnt,
+         |  coalesce(t2.top_bigram_cnt, 0) * 2 / t.n_tok AS top_bigram_frac,
+         |  (t1.top_token_cnt / t.n_tok <= 0.3
+         |    AND coalesce(t2.top_bigram_cnt, 0) * 2 / t.n_tok <= 0.2) AS passes_repetition
+         |FROM t
+         |JOIN t1 USING (doc_id)
+         |LEFT JOIN t2 USING (doc_id)
+         |WHERE t.n_tok >= 1""".stripMargin) { (s, dir) =>
+      val t = tokenTable(s, dir).filter(col("n_tok") >= 1)
+      val top1 = t.select(col("doc_id"), explode(col("tokens")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_token_cnt"))
+      val top2 = t.filter(col("n_tok") >= 2)
+        .select(col("doc_id"), explode(transform(sequence(lit(1), col("n_tok") - 1),
+          i => struct(element_at(col("tokens"), i).as("a"),
+            element_at(col("tokens"), i + 1).as("b")))).as("bg"))
+        .groupBy(col("doc_id"), col("bg.a"), col("bg.b")).agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_bigram_cnt"))
+      val bigramCnt = coalesce(col("top_bigram_cnt"), lit(0L))
+      val tokenFrac = col("top_token_cnt") / col("n_tok")
+      val bigramFrac = bigramCnt * 2 / col("n_tok")
+      t.select("doc_id", "source", "n_tok")
+        .join(top1, Seq("doc_id"))
+        .join(top2, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          col("top_token_cnt"),
+          tokenFrac.as("top_token_frac"),
+          bigramCnt.as("top_bigram_cnt"),
+          bigramFrac.as("top_bigram_frac"),
+          (tokenFrac <= 0.3 && bigramFrac <= 0.2).as("passes_repetition"))
+    },
+
     // Token-level quality gate: length bounds + distinct-token ratio
     // (repetition filter). Map-only — no shuffle at any corpus size.
     Q("tokens_quality_filter",
