@@ -70,12 +70,12 @@ object TokenQueries {
 
   /** Concat-and-chunk packing CTE chain mirroring TokenPipeline.packChunks
     * (C=128) over CTE `t`, ending in `chunks(source, chunk_id, ct, n_docs)`. */
-  private val packCtes =
-    """, o AS (
+  private def packCtesFrom(src: String) =
+    s""", o AS (
       |  SELECT source, doc_id, tokens, n_tok,
       |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
-      |  FROM t WHERE n_tok > 0
+      |  FROM $src WHERE n_tok > 0
       |), spans AS (
       |  SELECT source, off, tokens, n_tok,
       |    unnest(generate_series(off // 128, (off + n_tok - 1) // 128)) AS chunk_id
@@ -96,6 +96,7 @@ object TokenQueries {
       |    count(DISTINCT gstart) AS n_docs
       |  FROM toks GROUP BY 1, 2
       |)""".stripMargin
+  private def packCtes = packCtesFrom("t")
 
   /** Scalar chunk fingerprint over `chunks` — every token's value and
     * position reaches the driver's hash through sum/first/last. */
@@ -174,6 +175,21 @@ object TokenQueries {
       s"""WITH ${tokensCte("documents")}$packCtes
          |${packSelect()}""".stripMargin) { (s, dir) =>
       chunkFingerprint(TokenPipeline.packChunks(tokenTable(s, dir), chunkSize = 128))
+    },
+
+    // GPT-style boundary-marked packing: every doc ends with EOS (-1,
+    // outside the md5 token-id space [0, 1e9+7)) before the identical
+    // concat-and-chunk — training examples never glue two docs without a
+    // separator. Same two-phase offset machinery and oracle shape.
+    Q("tokens_pack_chunks_eos",
+      s"""WITH ${tokensCte("documents")}, te AS (
+         |  SELECT doc_id, list_append(tokens, -1) AS tokens,
+         |    n_tok + 1 AS n_tok, source
+         |  FROM t
+         |)${packCtesFrom("te")}
+         |${packSelect()}""".stripMargin) { (s, dir) =>
+      chunkFingerprint(
+        TokenPipeline.packChunksWithEos(tokenTable(s, dir), eos = -1, chunkSize = 128))
     },
 
     // CCNet-style LM quality score: per-doc mean log-likelihood under the
@@ -459,5 +475,30 @@ object TokenQueries {
         TokenPipeline.fromDocuments(documentsStream(s, dir)).as[StreamingPacker.TokenDoc],
         chunkSize = 128)
       chunkFingerprint(StreamRun.availableNow(packed.toDF()))
+    },
+
+    // The same stateful packer on Spark 4's transformWithState API
+    // (streaming/PackerTws.scala): typed per-key ValueState over the
+    // RocksDB provider — the state backend a 10^12-sequence deployment
+    // runs — sharing packGroup with the flatMapGroupsWithState form, so
+    // the SAME oracle gates both operators.
+    Q("stream_pack_chunks_tws",
+      s"""WITH ${tokensCte("documents")}$packCtes
+         |${packSelect(" WHERE len(ct) = 128")}""".stripMargin) { (s, dir) =>
+      import graft.streaming.{PackerTws, StreamingPacker}
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val packed = PackerTws.pack(
+          TokenPipeline.fromDocuments(documentsStream(s, dir)).as[StreamingPacker.TokenDoc],
+          chunkSize = 128)
+        chunkFingerprint(StreamRun.availableNow(packed.toDF()))
+      } finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
     })
 }

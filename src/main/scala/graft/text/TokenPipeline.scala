@@ -119,6 +119,19 @@ object TokenPipeline {
         (col("n_tok") - coalesce(col("n_cut"), lit(0L))).as("n_kept"))
   }
 
+  /** Document-boundary variant of [[packChunks]]: every doc gets the
+    * `eos` token appended before packing (the standard GPT-style
+    * boundary-marking form — each document ends with EOS, so a training
+    * example never silently glues two docs without a separator). Pure
+    * composition: a map-only token rewrite followed by the identical
+    * two-phase packing, so it inherits every scale property and the
+    * shared oracle shape. */
+  def packChunksWithEos(tokens: DataFrame, eos: Int, chunkSize: Int = 128): DataFrame =
+    packChunks(
+      tokens.withColumn("tokens", concat(col("tokens"), array(lit(eos))))
+        .withColumn("n_tok", col("n_tok") + 1),
+      chunkSize)
+
   /** Benchmark decontamination (the eval-overlap gate every training-data
     * pipeline needs): flag corpus docs sharing any W-token window with a
     * benchmark/eval set, by the same double-modulus rolling window hash as

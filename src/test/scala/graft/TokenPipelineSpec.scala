@@ -92,6 +92,24 @@ class TokenPipelineSpec extends SparkSpec {
     assert(srcOnly.forall(w => w.child.collectFirst { case a: Aggregate => a }.nonEmpty))
   }
 
+  test("packChunksWithEos: one EOS per doc, sources end on EOS, interiors intact") {
+    val t = TokenPipeline.fromDocuments(docs(
+      ("01", "a b c", "s1"), ("02", "d e f g", "s1"), ("10", "x y", "s2")))
+    val out = TokenPipeline.packChunksWithEos(t, eos = -1, chunkSize = 4)
+      .select("source", "chunk_id", "tokens")
+      .as[(String, Long, Seq[Int])].collect().sortBy(c => (c._1, c._2))
+    val all = out.groupBy(_._1).view.mapValues(_.flatMap(_._3).toSeq).toMap
+    // s1 = doc1 ++ EOS ++ doc2 ++ EOS; s2 = doc10 ++ EOS
+    assert(all("s1").count(_ == -1) == 2 && all("s1").last == -1)
+    assert(all("s2").count(_ == -1) == 1 && all("s2").last == -1)
+    assert(all("s1").length == 3 + 1 + 4 + 1)
+    // non-EOS content equals the plain concatenation in doc order
+    val plain = t.orderBy("source", "doc_id")
+      .select("source", "tokens").as[(String, Seq[Int])].collect()
+      .groupBy(_._1).view.mapValues(_.flatMap(_._2).toSeq).toMap
+    assert(all("s1").filter(_ != -1) == plain("s1"))
+  }
+
   test("contaminatedDocs flags exactly the docs sharing an 8-token window") {
     val corpus = TokenPipeline.fromDocuments(docs(
       ("b1", "one two three four five six seven eight nine", "s"),
