@@ -26,12 +26,22 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def intArg(e: Expression, fn: String, arg: String): Int = e match {
-    case lit: Literal if lit.value != null => lit.value.asInstanceOf[Number].intValue()
-    case other if other.foldable && other.eval() != null =>
-      other.eval().asInstanceOf[Number].intValue()
-    case _ => throw new IllegalArgumentException(
-      s"$fn: $arg must be a non-null integer literal, got $e")
+  private def intArg(e: Expression, fn: String, arg: String): Int = {
+    val value = e match {
+      case lit: Literal => lit.value
+      case other if other.foldable => other.eval()
+      case _ => null
+    }
+    // integral types only — a string or fractional literal must be
+    // rejected, not class-cast-crashed or silently truncated
+    value match {
+      case i: java.lang.Integer => i.intValue
+      case s: java.lang.Short => s.intValue
+      case b: java.lang.Byte => b.intValue
+      case l: java.lang.Long if l >= Int.MinValue && l <= Int.MaxValue => l.intValue
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $arg must be a non-null integer literal, got $e")
+    }
   }
 
   private def info(name: String, usage: String) =

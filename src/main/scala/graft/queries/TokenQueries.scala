@@ -180,12 +180,13 @@ object TokenQueries {
     // GPT-style boundary-marked packing: every doc ends with EOS (-1,
     // outside the md5 token-id space [0, 1e9+7)) before the identical
     // concat-and-chunk — training examples never glue two docs without a
-    // separator. Same two-phase offset machinery and oracle shape.
+    // separator; empty docs are dropped BEFORE marking (no lone-EOS
+    // noise). Same two-phase offset machinery and oracle shape.
     Q("tokens_pack_chunks_eos",
       s"""WITH ${tokensCte("documents")}, te AS (
          |  SELECT doc_id, list_append(tokens, -1) AS tokens,
          |    n_tok + 1 AS n_tok, source
-         |  FROM t
+         |  FROM t WHERE n_tok > 0
          |)${packCtesFrom("te")}
          |${packSelect()}""".stripMargin) { (s, dir) =>
       chunkFingerprint(
@@ -487,18 +488,11 @@ object TokenQueries {
          |${packSelect(" WHERE len(ct) = 128")}""".stripMargin) { (s, dir) =>
       import graft.streaming.{PackerTws, StreamingPacker}
       import s.implicits._
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      PackerTws.withRocksDB(s) {
         val packed = PackerTws.pack(
           TokenPipeline.fromDocuments(documentsStream(s, dir)).as[StreamingPacker.TokenDoc],
           chunkSize = 128)
         chunkFingerprint(StreamRun.availableNow(packed.toDF()))
-      } finally prev match {
-        case Some(p) => s.conf.set(key, p)
-        case None => s.conf.unset(key)
       }
     })
 }

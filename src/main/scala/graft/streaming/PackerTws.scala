@@ -24,6 +24,21 @@ import graft.streaming.StreamingPacker.{PackState, PackedChunk, TokenDoc}
   */
 object PackerTws {
 
+  /** Run `body` with the RocksDB state store provider set on the session
+    * (the provider `transformWithState` requires), restoring the previous
+    * value after — the one conf every call site needs, kept with the
+    * operator instead of copy-pasted. */
+  def withRocksDB[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   class PackProcessor(chunkSize: Int)
       extends StatefulProcessor[String, TokenDoc, PackedChunk] {
     @transient private var state: ValueState[PackState] = _

@@ -122,13 +122,16 @@ object TokenPipeline {
   /** Document-boundary variant of [[packChunks]]: every doc gets the
     * `eos` token appended before packing (the standard GPT-style
     * boundary-marking form — each document ends with EOS, so a training
-    * example never silently glues two docs without a separator). Pure
-    * composition: a map-only token rewrite followed by the identical
-    * two-phase packing, so it inherits every scale property and the
-    * shared oracle shape. */
+    * example never silently glues two docs without a separator).
+    * Zero-token docs are dropped FIRST, per convention — without the
+    * filter they would inject contentless lone-EOS tokens and shift every
+    * later chunk boundary. Pure composition: a map-only token rewrite
+    * followed by the identical two-phase packing, so it inherits every
+    * scale property and the shared oracle shape. */
   def packChunksWithEos(tokens: DataFrame, eos: Int, chunkSize: Int = 128): DataFrame =
     packChunks(
-      tokens.withColumn("tokens", concat(col("tokens"), array(lit(eos))))
+      tokens.filter(col("n_tok") > 0)
+        .withColumn("tokens", concat(col("tokens"), array(lit(eos))))
         .withColumn("n_tok", col("n_tok") + 1),
       chunkSize)
 

@@ -94,11 +94,7 @@ class StreamingPackerSpec extends SparkSpec {
 
   test("transformWithState packer (RocksDB) equals the flatMapGroupsWithState form") {
     implicit val sqlCtx = spark.sqlContext
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    graft.streaming.PackerTws.withRocksDB(spark) {
       val docs = (1 to 9).map(i => doc(i, if (i % 2 == 0) "a" else "b", 1 to (i * 3)))
       val (batch1, batch2) = docs.splitAt(5)
       val input = MemoryStream[TokenDoc]
@@ -121,9 +117,6 @@ class StreamingPackerSpec extends SparkSpec {
         }.sortBy(c => (c.source, c.chunk_id))
         assert(streamed == expected)
       } finally query.stop()
-    } finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None => spark.conf.unset(key)
     }
   }
 
