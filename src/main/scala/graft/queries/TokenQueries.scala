@@ -83,8 +83,14 @@ object TokenQueries {
       |), pieces AS (
       |  SELECT source, chunk_id,
       |    greatest(off, chunk_id * 128) AS gstart,
-      |    tokens[(greatest(off, chunk_id * 128) - off + 1):(least(off + n_tok, (chunk_id + 1) * 128) - off)] AS piece
+      |    tokens[(greatest(off, chunk_id * 128) - off + 1):(least(off + n_tok, (chunk_id + 1) * 128) - off)] AS piece,
+      |    CASE WHEN greatest(off, chunk_id * 128) = off
+      |         THEN CAST(greatest(off, chunk_id * 128) - chunk_id * 128 AS INT) END AS ds
       |  FROM spans
+      |), bounds AS (
+      |  SELECT source, chunk_id,
+      |    coalesce(list(ds ORDER BY ds) FILTER (WHERE ds IS NOT NULL), []) AS dss
+      |  FROM pieces GROUP BY 1, 2
       |), ex AS (
       |  SELECT source, chunk_id, gstart, piece,
       |    unnest(generate_series(1, len(piece))) AS i
@@ -191,6 +197,27 @@ object TokenQueries {
          |${packSelect()}""".stripMargin) { (s, dir) =>
       chunkFingerprint(
         TokenPipeline.packChunksWithEos(tokenTable(s, dir), eos = -1, chunkSize = 128))
+    },
+
+    // Per-chunk document-boundary positions (the attention/loss-mask input
+    // packed training needs): doc_starts = 0-based in-chunk offsets where
+    // a doc begins; a chunk opening mid-document has no 0 entry. Scalar
+    // boundary fingerprints (count/sum/first) ride the gate's hash.
+    Q("tokens_pack_chunks_bounds",
+      s"""WITH ${tokensCte("documents")}$packCtes
+         |SELECT c.source, c.chunk_id, len(c.ct)::INT AS n_tok,
+         |  len(b.dss)::INT AS n_boundaries,
+         |  CAST(coalesce(list_sum(b.dss), 0) AS BIGINT) AS bounds_sum,
+         |  b.dss[1] AS first_start,
+         |  c.n_docs::BIGINT AS n_docs
+         |FROM chunks c JOIN bounds b USING (source, chunk_id)""".stripMargin) { (s, dir) =>
+      TokenPipeline.packChunks(tokenTable(s, dir), chunkSize = 128)
+        .select(col("source"), col("chunk_id"), col("n_tok"),
+          size(col("doc_starts")).cast("int").as("n_boundaries"),
+          aggregate(col("doc_starts"), lit(0L), (acc, x) => acc + x).as("bounds_sum"),
+          when(size(col("doc_starts")) > 0, element_at(col("doc_starts"), 1))
+            .as("first_start"),
+          col("n_docs"))
     },
 
     // CCNet-style LM quality score: per-doc mean log-likelihood under the

@@ -205,9 +205,12 @@ object TokenPipeline {
   /** Concat-and-chunk packing: per source, docs in doc_id order are laid
     * out on a global token axis (running-sum offset) and cut into
     * `chunkSize` chunks; a doc overlapping k chunk boundaries contributes
-    * k+1 slices. Returns (source, chunk_id, tokens, n_tok, n_docs) with
-    * chunk_id restarting at 0 per source; the final chunk per source may
-    * be short. Chunk assembly shuffles each token exactly once inside its
+    * k+1 slices. Returns (source, chunk_id, tokens, n_tok, n_docs,
+    * doc_starts) with chunk_id restarting at 0 per source and
+    * `doc_starts` the 0-based in-chunk positions where a document BEGINS
+    * (the boundary-mask input packed training needs; a chunk opening
+    * mid-document has no 0 entry); the final chunk per source may be
+    * short. Chunk assembly shuffles each token exactly once inside its
     * slice struct.
     *
     * The running-sum offset is a TWO-PHASE PREFIX SUM, not a
@@ -266,12 +269,18 @@ object TokenPipeline {
           floor((col("off") + col("n_tok") - 1) / c))).as("chunk_id"))
       .select(col("source"), col("chunk_id"), gstart.as("gstart"),
         slice(col("tokens"), (gstart - col("off") + 1).cast("int"),
-          (gend - gstart).cast("int")).as("piece"))
+          (gend - gstart).cast("int")).as("piece"),
+        // pieces that BEGIN their document mark a boundary inside the
+        // chunk (0-based position) — the attention/loss-mask input packed
+        // training needs; collect_list drops the null continuation pieces
+        when(gstart === col("off"),
+          (gstart - col("chunk_id") * c).cast("int")).as("ds"))
       .groupBy("source", "chunk_id")
       .agg(sort_array(collect_list(struct(col("gstart"), col("piece")))).as("ps"),
-        count(lit(1)).as("n_docs"))
+        count(lit(1)).as("n_docs"),
+        sort_array(collect_list(col("ds"))).as("doc_starts"))
       .select(col("source"), col("chunk_id"),
-        flatten(col("ps.piece")).as("tokens"), col("n_docs"))
+        flatten(col("ps.piece")).as("tokens"), col("n_docs"), col("doc_starts"))
       .withColumn("n_tok", size(col("tokens")))
   }
 }

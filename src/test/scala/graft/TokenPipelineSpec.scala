@@ -92,6 +92,17 @@ class TokenPipelineSpec extends SparkSpec {
     assert(srcOnly.forall(w => w.child.collectFirst { case a: Aggregate => a }.nonEmpty))
   }
 
+  test("packChunks doc_starts: boundary positions, mid-doc chunk has none") {
+    // docs of 3+3 tokens at C=4: chunk 0 = [d1 | head of d2] with starts
+    // at 0 and 3; chunk 1 = d2's tail only — NO boundary (mid-document)
+    val t = TokenPipeline.fromDocuments(docs(
+      ("01", "a b c", "s1"), ("02", "d e f", "s1")))
+    val out = TokenPipeline.packChunks(t, chunkSize = 4)
+      .select("chunk_id", "doc_starts").as[(Long, Seq[Int])].collect().toMap
+    assert(out(0L) == Seq(0, 3))
+    assert(out(1L) == Seq.empty)
+  }
+
   test("packChunksWithEos: one EOS per doc, sources end on EOS, interiors intact") {
     val t = TokenPipeline.fromDocuments(docs(
       ("01", "a b c", "s1"), ("02", "d e f g", "s1"), ("10", "x y", "s2")))
