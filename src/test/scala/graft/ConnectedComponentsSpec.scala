@@ -49,6 +49,16 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("exhausting maxIter throws instead of returning mid-propagation labels") {
+    // a 64-chain cannot converge in one round — silent exit here would
+    // hand back labels that split the real component
+    val edges = (1L until 64L).map(i => (i, i + 1)).toSeq.toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(edges, maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("edge direction and duplicate edges do not matter") {
     val edges = Seq((5L, 3L), (3L, 5L), (3L, 9L), (9L, 3L), (9L, 5L))
       .toDF("doc_a", "doc_b")
