@@ -140,7 +140,7 @@ object Dedup {
     * reduced mod p (keeps products < 2^63). */
   def minhash(text: Column, j: Int, n: Int = 3): Column =
     array_min(transform(shingles(text, n),
-      s => (lit(minhashA(j)) * (conv(substring(md5(s), 1, 15), 16, 10).cast("long") % TextOps.HashPrime)
+      s => (lit(minhashA(j)) * (md5Hash60(s) % TextOps.HashPrime)
         + lit(minhashB(j))) % TextOps.HashPrime))
 
   /** LSH band key b (= BandSize consecutive minhashes, string-combined). */
@@ -161,8 +161,7 @@ object Dedup {
   def minhashSignatures(documents: DataFrame, n: Int = 3): DataFrame = {
     val hashed = documents.select(col("doc_id"),
       explode(shingles(col("text"), n)).as("shingle"))
-      .withColumn("h", conv(substring(md5(col("shingle")), 1, 15), 16, 10)
-        .cast("long") % TextOps.HashPrime)
+      .withColumn("h", md5Hash60(col("shingle")) % TextOps.HashPrime)
     hashed.groupBy("doc_id").agg(
       min((lit(minhashA(0)) * col("h") + lit(minhashB(0))) % TextOps.HashPrime).as("mh0"),
       (1 until NumMinhash).map(j =>
@@ -246,11 +245,19 @@ object Dedup {
     * N / 2^bandBits per band — shrink bandBits (more, narrower bands) only
     * for higher Hamming radii, and widen it (e.g. 2 × 16 bits for Hamming
     * ≤ 1) to keep occupancy bounded as N grows. */
+  /** `bucketCap < 0` (the default) sizes the cap from the corpus via
+    * [[simhashCapFor]] — one cheap count() up front. A FIXED default
+    * would be structurally wrong here: simhash band keys live in the
+    * fixed 2^bandBits keyspace, so expected occupancy grows with N and a
+    * constant cap silently drops essentially every bucket at corpus
+    * scale (the failure simhashCapFor's scaladoc derives). */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3, bandBits: Int = 8,
-                   bucketCap: Int = DefaultBucketCap): DataFrame = {
+                   bucketCap: Int = -1): DataFrame = {
     val nBands = SimhashBits / bandBits
     require(nBands >= maxHamming + 1,
       s"need ≥ ${maxHamming + 1} bands for Hamming ≤ $maxHamming, got $nBands")
+    val cap = if (bucketCap >= 0) bucketCap
+      else simhashCapFor(documents.count(), bandBits)
     val mask = (1L << bandBits) - 1
     val sh = simhashValues(documents)
     val banded = sh.select(col("doc_id"), col("simhash"),
@@ -265,7 +272,7 @@ object Dedup {
     val wBucket = Window.partitionBy("band_id", "band_key")
     banded
       .withColumn("occ", count(lit(1)).over(wBucket))
-      .filter(col("occ").between(2, bucketCap))
+      .filter(col("occ").between(2, cap))
       .groupBy("band_id", "band_key")
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ids"))
       .select(explode(col("ids")).as("a"), col("ids"))
@@ -304,6 +311,11 @@ object Dedup {
     * storage) — fine on local[*] where executor == driver, but a lost
     * executor on a real cluster kills the job because the truncated
     * lineage has no recompute path; DedupSpec exercises both modes.
+    * Reliable-mode storage note: each round's checkpoint stays on disk
+    * for the session (Spark only garbage-collects them with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, which
+    * long-running curation services should set — rounds+2 checkpoints of
+    * ≤ |E|+|V| rows per invocation otherwise accumulate).
     *
     * Returns (id, comp) for every vertex that appears in `edges`.
     */

@@ -95,6 +95,18 @@ object AsofJoin {
   def backwardBucketed(left: DataFrame, right: DataFrame, key: String, ts: String,
       payload: Seq[String], numBuckets: Int = 32): DataFrame = {
     require(numBuckets >= 2, s"numBuckets must be ≥ 2, got $numBuckets")
+    // numeric/temporal ts only: for string ts the bucket math (numeric)
+    // and backward's window order (lexicographic) would disagree — reject
+    // instead of silently diverging
+    Seq(left, right).foreach { side =>
+      val t = side.schema(ts).dataType
+      require(t.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        t == org.apache.spark.sql.types.TimestampType ||
+        t == org.apache.spark.sql.types.TimestampNTZType ||
+        t == org.apache.spark.sql.types.DateType,
+        s"backwardBucketed needs a numeric/temporal ts column, got $t — " +
+          "use backward for other orderable types")
+    }
     val (u0p, leftRest) = marked(left, right, key, ts, payload)
     // one materialization shared by the range probe + the 3 consumers
     val u0 = u0p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -114,10 +126,14 @@ object AsofJoin {
     val wLocal = Window.partitionBy(key, "__bucket").orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = u.withColumn("__local", last(col("__payload"), ignoreNulls = true).over(wLocal))
-    // bucket-level lasts (right rows only) → per-key cumulative carry-in
+    // bucket-level lasts (right rows only) → per-key cumulative carry-in.
+    // max_by SKIPS rows whose ordering value is null, which would drop a
+    // null-ts right payload from the carry entirely (backward's window
+    // carries it: NULLS FIRST = oldest) — order nulls as -∞ instead.
     val bucketLast = u.filter(col("__side") === 0)
       .groupBy(key, "__bucket")
-      .agg(max_by(col("__payload"), col(ts)).as("__blast"))
+      .agg(max_by(col("__payload"),
+        coalesce(col(ts).cast("double"), lit(Double.NegativeInfinity))).as("__blast"))
     val wCarry = Window.partitionBy(key).orderBy("__bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = u.select(col(key), col("__bucket")).distinct()

@@ -166,9 +166,14 @@ object TokenPipeline {
     * order-independent and engine-exact; the mean is the one final
     * division. Shape: two count aggregations + one equi-join of the
     * exploded doc bigrams against the model — the model tables shuffle
-    * once and at web scale are tiny next to the corpus. Self-scored here
-    * (model = scoring corpus); pass a different `model` for held-out
-    * scoring. */
+    * once and at web scale are tiny next to the corpus; the vocabulary
+    * size rides as a broadcast one-row cross join, so composing this
+    * operator stays fully LAZY (no eager driver job) and the optimizer
+    * schedules all model scans in one action. Self-scored here (model =
+    * scoring corpus); pass a different `model` for held-out scoring.
+    * Output shape: one row per doc WITH ≥2 tokens — 0/1-token docs have
+    * no bigram to score and are absent (left-join back onto the corpus
+    * if every doc needs a row). */
   def lmScore(tokens: DataFrame, model: DataFrame): DataFrame = {
     val bigrams = (df: DataFrame) => df.filter(col("n_tok") >= 2)
       .select(col("doc_id"), explode(transform(sequence(lit(1), col("n_tok") - 1),
@@ -179,14 +184,15 @@ object TokenPipeline {
     // c(a) = Σ_b c(a,b): derived from the reduced table, not a second
     // full-corpus shuffle
     val prefixCounts = bigramCounts.groupBy("a").agg(sum("c_ab").as("c_a"))
-    val vocabSize = model.select(explode(col("tokens")).as("t"))
-      .agg(countDistinct("t")).head.getLong(0)
+    val vocab = model.select(explode(col("tokens")).as("t"))
+      .agg(countDistinct("t").as("__vs"))
     // coalesce: unseen bigrams/prefixes (held-out scoring) smooth to 1/V+
     val logp = round(log((coalesce(col("c_ab"), lit(0L)) + 1).cast("double") /
-      (coalesce(col("c_a"), lit(0L)) + vocabSize).cast("double")), 9)
+      (coalesce(col("c_a"), lit(0L)) + col("__vs")).cast("double")), 9)
     bigrams(tokens)
       .join(bigramCounts, Seq("a", "b"), "left")
       .join(prefixCounts, Seq("a"), "left")
+      .crossJoin(broadcast(vocab))
       .select(col("doc_id"),
         logp.cast("decimal(38,12)").as("lp"))
       .groupBy("doc_id")

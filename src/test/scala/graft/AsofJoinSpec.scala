@@ -93,6 +93,20 @@ class AsofJoinSpec extends SparkSpec {
     val bucketed = AsofJoin.backwardBucketed(lNull, rSmall, "k", "ts", Seq("rid"), 4)
     assert(bucketed.count() == 3)
     assert(canon(bucketed) == canon(AsofJoin.backward(lNull, rSmall, "k", "ts", Seq("rid"))))
+    // a null-ts RIGHT payload must ride the cross-bucket carry too
+    // (backward's NULLS FIRST window carries it as the oldest row)
+    val lFar = Seq((1L, 0L, "a"), (1L, 1000L, "b")).toDF("k", "ts", "tag")
+    val rNull = Seq((1L, Option.empty[Long], 100L)).toDF("k", "ts", "rid")
+    assert(canon(AsofJoin.backwardBucketed(lFar, rNull, "k", "ts", Seq("rid"), 4)) ==
+      canon(AsofJoin.backward(lFar, rNull, "k", "ts", Seq("rid"))))
+    // string ts is rejected up front (bucket math vs lexicographic order
+    // would silently diverge)
+    val lStr = Seq((1L, "5", "x")).toDF("k", "ts", "tag")
+    val rStr = Seq((1L, "30", 1L)).toDF("k", "ts", "rid")
+    val err = intercept[IllegalArgumentException] {
+      AsofJoin.backwardBucketed(lStr, rStr, "k", "ts", Seq("rid"), 4)
+    }
+    assert(err.getMessage.contains("numeric/temporal"))
   }
 
   test("bucketed variant: ONE hot key splits across (key, bucket) tasks") {
