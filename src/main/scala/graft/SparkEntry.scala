@@ -15,7 +15,7 @@ object SparkEntry {
     SpadlQueries.all ++ RepairQueries.all ++ RelationalQueries.all ++ ConverterQueries.all ++ VaepQueries.all ++
       XtQueries.all ++ AtomicQueries.all ++ TextQueries.all ++
       AtomicVaepQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
-      MlQueries.all ++ StreamingQueries.all ++ StatsBombQueries.all ++ OptaQueries.all ++
+      MlQueries.all ++ XgQueries.all ++ StreamingQueries.all ++ StatsBombQueries.all ++ OptaQueries.all ++
       WyscoutQueries.all ++ KloppyQueries.all ++ TokenQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -1,0 +1,44 @@
+package graft.vaep
+
+import org.apache.spark.ml.classification.{GBTClassificationModel, GBTClassifier}
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Expected-goals (xG) classifier: a single binary model P(goal | shot)
+  * over shot gamestate features — the workflow of the reference's
+  * `public-notebooks/EXTRA-build-expected-goals-model.ipynb` (train on the
+  * first half of games, score the second half, report Brier / log-loss /
+  * AUROC against the class-prior baseline).
+  *
+  * Reuses the VAEP feature families ([[Features]]); the model itself is a
+  * seeded spark.ml GBT (the notebook's XGBClassifier lane — spark.ml has no
+  * exact XGBoost twin, and like the VAEP models the notebook never
+  * value-checks classifier output). The fixed-coefficient logistic lane is
+  * value-golden in `XgQueries.xg_rate_logistic`.
+  */
+object XgModel {
+
+  /** Fit one binary GBT on `labelCol` (boolean/numeric) over `featureCols`. */
+  def fit(train: DataFrame, featureCols: Array[String], labelCol: String,
+          maxIter: Int = 10, maxDepth: Int = 3, seed: Long = 42L): GBTClassificationModel = {
+    val assembled = assemble(train, featureCols)
+      .withColumn("label_xg", col(labelCol).cast("double"))
+    new GBTClassifier()
+      .setLabelCol("label_xg").setFeaturesCol("features_vec")
+      .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed)
+      .fit(assembled)
+  }
+
+  /** P̂(goal) per shot as column `outCol`. */
+  def predict(model: GBTClassificationModel, df: DataFrame,
+              featureCols: Array[String], outCol: String = "xg"): DataFrame =
+    model.transform(assemble(df, featureCols))
+      .withColumn(outCol,
+        org.apache.spark.ml.functions.vector_to_array(col("probability")).getItem(1))
+      .drop("rawPrediction", "probability", "prediction", "features_vec")
+
+  private def assemble(df: DataFrame, featureCols: Array[String]): DataFrame =
+    new VectorAssembler().setInputCols(featureCols).setOutputCol("features_vec")
+      .transform(VaepModel.numericize(df, featureCols.toSeq))
+}
