@@ -53,6 +53,79 @@ object SimilarityQueries {
       s"(CASE WHEN $p < npl THEN (CASE WHEN ${planeProjSql(emb, p)} > 0 THEN ${1L << p} ELSE 0 END) ELSE 0 END)"
     }.mkString(" + ")
 
+  // ---- deterministic IVF (Ivf.fitLloyd) mirror ------------------------------
+
+  private val IvfNlist = 8
+  private val IvfIters = 3
+  private val IvfNprobe = 4
+  private val IvfK = 10
+
+  /** Dot of two DOUBLE lists (no cast — inputs already double). */
+  private def dotQSql(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, ${Similarity.Dim}), " +
+      s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  /** The assignment score x·c − ‖c‖²/2 (argmax ≡ nearest by L2) — the same
+    * left-folds Ivf.cellScores evaluates, so scores are bit-identical. */
+  private def ivfScoreSql(q: String, c: String): String =
+    s"(${dotQSql(q, c)} - list_reduce(list_transform($c, x -> x * x), (x, y) -> x + y) / 2.0)"
+
+  /** One Lloyd step: assign to `prev` centroids, then per-(cell, dim)
+    * decimal-exact mean requantized to 6 decimals; empty cells carry. */
+  private def ivfStepSql(prev: String, assignOut: String, centOut: String): String =
+    s"""$assignOut AS (
+       |  SELECT vec_id, q, cid FROM (
+       |    SELECT e.vec_id, e.q, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${ivfScoreSql("e.q", "c.c")} DESC, c.cid) AS rn
+       |    FROM embq e CROSS JOIN $prev c
+       |  ) WHERE rn = 1
+       |), $centOut AS (
+       |  SELECT p.cid, coalesce(u.c, p.c) AS c
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT cid, list(m ORDER BY dim) AS c FROM (
+       |      SELECT a.cid, d.i AS dim,
+       |        round(CAST(CAST(sum(CAST(a.q[d.i] AS DECIMAL(38,18))) AS DECIMAL(38,6)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS m
+       |      FROM $assignOut a CROSS JOIN (SELECT unnest(generate_series(1, ${Similarity.Dim})) AS i) d
+       |      GROUP BY a.cid, d.i
+       |    ) GROUP BY cid
+       |  ) u USING (cid)
+       |)""".stripMargin
+
+  private def ivfOracleSql: String = {
+    val steps = (1 to IvfIters)
+      .map(t => ivfStepSql(s"c${t - 1}", s"a$t", s"c$t")).mkString(", ")
+    s"""WITH embq AS (
+       |  SELECT vec_id, embedding, list_transform(embedding, x -> round(x::DOUBLE, 6)) AS q
+       |  FROM embeddings
+       |), c0 AS (
+       |  SELECT cid, c FROM (
+       |    SELECT CAST(row_number() OVER (
+       |        ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id) AS INT) - 1 AS cid,
+       |      q AS c
+       |    FROM embq
+       |  ) WHERE cid < $IvfNlist
+       |), $steps, corpus AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${ivfScoreSql("e.q", "c.c")} DESC, c.cid) AS rn
+       |    FROM embq e CROSS JOIN c$IvfIters c
+       |  ) WHERE rn = 1
+       |), probed AS (
+       |  SELECT query_id, q_emb, cid FROM (
+       |    SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${ivfScoreSql("e.q", "c.c")} DESC, c.cid) AS rn
+       |    FROM embq e CROSS JOIN c$IvfIters c WHERE e.vec_id < 5
+       |  ) WHERE rn <= $IvfNprobe
+       |), scored AS (
+       |  SELECT p.query_id, s.vec_id, ${cosineSql("p.q_emb", "s.embedding")} AS cosine
+       |  FROM corpus s JOIN probed p ON s.cid = p.cid AND s.vec_id <> p.query_id
+       |)
+       |SELECT query_id, vec_id, cosine, rk FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rk
+       |  FROM scored
+       |) WHERE rk <= $IvfK""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("sim_cosine_scores",
@@ -115,10 +188,15 @@ object SimilarityQueries {
 
     // IVF (k-means) ANN: learned centroids ⇒ rows-only (IvfSpec gates
     // recall against brute force; full-probe search is asserted EXACT).
-    Q.rowsOnly("sim_ivf_ann") { (s, dir) =>
+    // IVF ANN, fully value-golden: hash-seeded init + 3 Lloyd iterations on
+    // 6-decimal-quantized vectors (decimal-exact means ⇒ bit-identical
+    // centroids), assignment/probing on the quantized grid, exact cosine on
+    // raw embeddings. The DuckDB mirror unrolls the same three iterations.
+    Q("sim_ivf_ann", ivfOracleSql) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val index = graft.sim.Ivf.fit(emb, nlist = 8, seed = 42L)
-      graft.sim.Ivf.search(emb, queriesDf(s, dir), index, k = 10, nprobe = 4)
+      val index = graft.sim.Ivf.fitLloyd(emb, nlist = IvfNlist, iters = IvfIters)
+      graft.sim.Ivf.search(emb, queriesDf(s, dir), index,
+        k = IvfK, nprobe = IvfNprobe, quantized = true)
     },
 
     Q("sim_lsh_ann",

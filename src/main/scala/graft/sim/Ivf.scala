@@ -22,13 +22,59 @@ import org.apache.spark.sql.functions._
   * array is nlist×dim floats (32k×64 ≈ 8 MB) — comfortably broadcast. The
   * assignment expression reuses the codegen'd FoldDot kernel per centroid.
   *
-  * Like every learned index, cell assignments depend on the fitted
-  * centroids, so the driver query is rows-only; IvfSpec gates recall@k
+  * Two fit paths: [[fitLloyd]] is fully deterministic (hash-seeded init +
+  * fixed Lloyd iterations on a 6-decimal quantization grid) and backs the
+  * value-golden `sim_ivf_ann` oracle; [[fit]] wraps spark.ml's seeded
+  * k-means for the sampled/large-corpus path, where IvfSpec gates recall@k
   * against the brute-force oracle instead.
   */
 object Ivf {
 
   final case class Index(dim: Int, centroids: Array[Array[Double]])
+
+  /** Index-grade quantization: each component rounded to 6 decimals (as a
+    * double). Makes the Lloyd means decimal-exact — the whole index build
+    * becomes value-golden (both engines round half-away-from-zero, and a
+    * sum of 6-decimal values is exact in DECIMAL(38,18)). Assignment uses
+    * the quantized vector; candidate scoring stays on raw embeddings. */
+  def quantize(emb: Column): Column =
+    transform(emb, x => round(x.cast("double"), 6))
+
+  /** Deterministic k-means: hash-seeded init (the nlist vectors with the
+    * smallest md5(vec_id) — a uniform, engine-mirrorable pick) + a FIXED
+    * number of Lloyd iterations over quantized vectors. Per-cell means are
+    * DECIMAL(38,18)-exact sums requantized to 6 decimals before the one
+    * double division, so every centroid is bit-identical to the DuckDB
+    * mirror and `sim_ivf_ann` is value-golden — unlike [[fit]]'s spark.ml
+    * k-means (kept for the sampled/large-corpus path), whose init is
+    * k-means|| on an RDD sample.
+    *
+    * Each iteration is one map-only assignment pass + one (cell, dim)
+    * partial aggregate (nlist×dim rows collected — 8×64 here, ≤ a few MB
+    * at any realistic nlist·dim); the corpus never shuffles its payload. */
+  def fitLloyd(embeddings: DataFrame, nlist: Int, iters: Int = 3): Index = {
+    val embq = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q")).cache()
+    try {
+      val h = conv(substr(md5(col("vec_id").cast("string")), lit(1), lit(15)), 16, 10).cast("long")
+      val init = embq.orderBy(h.asc, col("vec_id").asc).limit(nlist)
+        .select("q").collect()
+      var cents: Array[Array[Double]] = init.map(r => r.getSeq[Double](0).toArray)
+      for (_ <- 0 until iters) {
+        val idx = Index(cents(0).length, cents)
+        val means = embq
+          .withColumn("cellq", cell(col("q"), idx))
+          .select(col("cellq"), posexplode(col("q")).as(Seq("dim", "v")))
+          .groupBy("cellq", "dim")
+          .agg(round(sum(col("v").cast("decimal(38,18)")).cast("decimal(38,6)").cast("double")
+            / count(lit(1)).cast("double"), 6).as("m"))
+          .collect()
+        val next = cents.map(_.clone()) // empty cells keep their centroid
+        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        cents = next
+      }
+      Index(cents(0).length, cents)
+    } finally { embq.unpersist(); () }
+  }
 
   /** Fit nlist centroids on (a sample of) the corpus (seeded k-means). */
   def fit(embeddings: DataFrame, nlist: Int, seed: Long = 42L,
@@ -58,24 +104,31 @@ object Ivf {
     (array_position(scores, array_max(scores)) - 1).cast("int")
   }
 
-  /** The query's `nprobe` best cells, as an array (for explode). */
+  /** The query's `nprobe` best cells, as an array (for explode). Sorted on
+    * (−score, cell) so ties break to the LOWEST cell id — same total order
+    * as a `score DESC, cell ASC` row_number, which the value-golden oracle
+    * mirrors. */
   def probeCells(emb: Column, index: Index, nprobe: Int): Column = {
     val scores = cellScores(emb, index)
-    slice(reverse(array_sort(zip_with(
+    slice(array_sort(zip_with(
       scores,
       typedLit(index.centroids.indices.map(_.toLong)),
-      (s, i) => struct(s.as("score"), i.as("cell"))))), 1, nprobe)
+      (s, i) => struct((-s).as("nscore"), i.as("cell")))), 1, nprobe)
   }
 
   /** ANN top-k: corpus partitioned by cell once, queries replicated to
-    * their nprobe cells, exact cosine within probed cells. */
+    * their nprobe cells, exact cosine within probed cells. With
+    * `quantized = true`, cell assignment and probing run on the quantized
+    * vectors (the [[fitLloyd]] index grid) so the whole query is
+    * value-golden; scoring always uses the raw embeddings. */
   def search(embeddings: DataFrame, queries: DataFrame, index: Index,
-             k: Int, nprobe: Int): DataFrame = {
+             k: Int, nprobe: Int, quantized: Boolean = false): DataFrame = {
+    val asg: Column => Column = e => if (quantized) quantize(e) else e
     val corpus = embeddings
-      .withColumn("ivf_cell", cell(col("embedding"), index))
+      .withColumn("ivf_cell", cell(asg(col("embedding")), index))
     val probed = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .withColumn("probe", explode(probeCells(col("q_emb"), index, nprobe)))
+      .withColumn("probe", explode(probeCells(asg(col("q_emb")), index, nprobe)))
       .select(col("query_id"), col("q_emb"), col("probe.cell").cast("int").as("ivf_cell"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     corpus.join(broadcast(probed), Seq("ivf_cell"))

@@ -26,6 +26,31 @@ class IvfSpec extends SparkSpec {
     assert(cells.select("vec_id", "c").exceptAll(cells2.select("vec_id", "c")).count() == 0)
   }
 
+  test("ivf fitLloyd: deterministic centroids on the 6-decimal grid; full-probe equals brute force") {
+    val emb = Tables.embeddings(spark, sf).cache()
+    val i1 = Ivf.fitLloyd(emb, nlist = 8, iters = 3)
+    val i2 = Ivf.fitLloyd(emb, nlist = 8, iters = 3)
+    assert(i1.centroids.map(_.toSeq).toSeq == i2.centroids.map(_.toSeq).toSeq,
+      "refit produced different centroids")
+    // every component sits on the 6-decimal quantization grid
+    i1.centroids.flatten.foreach { x =>
+      assert((BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble == x),
+        s"centroid component $x off the 6-decimal grid")
+    }
+    // Lloyd iterations actually moved the centroids off the init picks
+    val i0 = Ivf.fitLloyd(emb, nlist = 8, iters = 0)
+    assert(i1.centroids.map(_.toSeq).toSeq != i0.centroids.map(_.toSeq).toSeq)
+
+    val queries = emb.filter(col("vec_id") < 5)
+    def topSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = topSet(Similarity.bruteForceTopK(emb, queries, 10))
+    val full = topSet(Ivf.search(emb, queries, i1, k = 10, nprobe = 8, quantized = true))
+    assert(full == brute)
+    emb.unpersist()
+  }
+
   test("ivf: full-probe search equals brute force; few-probe recall is high") {
     val emb = Tables.embeddings(spark, sf).cache()
     val queries = emb.filter(col("vec_id") < 5)
