@@ -65,7 +65,53 @@ object MlQueries {
     AtomicVaep.labels(withF)
   }
 
+  /** The committed frozen GBT pair (generated once by [[graft.FreezeGbt]]). */
+  private lazy val frozenScores =
+    graft.vaep.FrozenGbt.loadResource("/graft/vaep_gbt_frozen.txt", "scores")
+  private lazy val frozenConcedes =
+    graft.vaep.FrozenGbt.loadResource("/graft/vaep_gbt_frozen.txt", "concedes")
+
   val all: Seq[Q] = Seq(
+
+    // The GBT PREDICT path value-golden: one trained scores/concedes pair
+    // frozen to literal trees (resource + FreezeGbt), walked identically as
+    // a Column chain and as nested-CASE SQL — tree comparisons are exact
+    // double arithmetic, the log-loss link is the only libm call and rounds
+    // to 9 on both sides (the vaep_rate_logistic trick, extended to the
+    // real model family). Training itself stays rows-only by design.
+    Q("vaep_rate_gbt_frozen",
+      s"""${graft.core.SynActions.OracleCte}, f AS (
+         |  SELECT *,
+         |    start_x AS start_x_a0, start_y AS start_y_a0,
+         |    end_x AS end_x_a0, end_y AS end_y_a0,
+         |    end_x - start_x AS dx_a0, end_y - start_y AS dy_a0,
+         |    time_seconds AS time_seconds_a0,
+         |    sqrt(abs(105.0 - start_x) * abs(105.0 - start_x) + abs(34.0 - start_y) * abs(34.0 - start_y)) AS start_dist_to_goal_a0
+         |  FROM actions
+         |), p AS (
+         |  SELECT *,
+         |    round(${graft.vaep.FrozenGbt.sql(frozenScores)}, 9) AS scores_p,
+         |    round(${graft.vaep.FrozenGbt.sql(frozenConcedes)}, 9) AS concedes_p
+         |  FROM f
+         |)${VaepQueries.FormulaFromP}
+         |SELECT game_id, action_id, seq, scores_p, concedes_p,
+         |  offensive_value, defensive_value,
+         |  offensive_value + defensive_value AS vaep_value
+         |FROM v""".stripMargin) { (s, dir) =>
+      import graft.vaep.{Features, FrozenGbt, Formula}
+      val acts = SynActions.fromEvents(Tables.events(s, dir))
+      val withF = acts.select(
+        col("*") +: (Features.startlocation(0) ++ Features.endlocation(0) ++
+          Features.movement(0) :+ col("time_seconds").as("time_seconds_a0")
+          :+ Features.startpolar(0).head): _*)
+      val withP = withF
+        .withColumn("scores_p", round(FrozenGbt.column(frozenScores), 9))
+        .withColumn("concedes_p", round(FrozenGbt.column(frozenConcedes), 9))
+      Formula.value(withP)
+        .select("game_id", "action_id", "seq", "scores_p", "concedes_p",
+          "offensive_value", "defensive_value", "vaep_value")
+    },
+
     Q.rowsOnly("vaep_ml_rate") { (s, dir) =>
       val data = assembled(s, dir).cache()
       val fc = featureCols(3)

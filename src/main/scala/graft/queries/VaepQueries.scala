@@ -22,7 +22,7 @@ object VaepQueries {
 
   /** Formula tail over ANY CTE `p` exposing scores_p/concedes_p —
     * exposes CTE `v` with offensive_value/defensive_value. */
-  private val FormulaFromP: String =
+  private[queries] val FormulaFromP: String =
     """, pr AS (
       |  SELECT *,
       |    coalesce(lag(team_id) OVER wg, team_id) AS pv_team,
