@@ -84,16 +84,22 @@ object AsofJoin {
     * bucket function only needs monotonicity, so double rounding is
     * harmless); a NULL ts lands in bucket 0, where it sorts first like
     * in [[backward]]'s global window, so null-ts rows keep identical
-    * semantics instead of falling out of the stitch join. The marked
-    * union is PERSISTED (spillable, LRU-evictable) — the global (min,
-    * max) probe plus the three consumers (local window, bucket lasts,
-    * bucket list) would otherwise re-run the upstream four times.
-    * Degenerate limit: rows of one key at ONE identical ts still share a
-    * bucket (nothing orders them anyway); many-distinct-keys workloads
-    * should prefer [[backward]], whose single window needs no
-    * bucket-level broadcast and no materialization. */
+    * semantics instead of falling out of the stitch join.
+    *
+    * Guarded for the regime it targets: the carry frame is
+    * keys × numBuckets rows, so when the range probe's approximate key
+    * count estimates more than `maxCarryRows` carry rows, the operator
+    * AUTO-FALLS-BACK to [[backward]] (many distinct keys ⇒ no hot key ⇒
+    * the single per-key window is the right plan anyway) instead of
+    * force-broadcasting an unbounded frame. Within the guard, the carry
+    * is collected and re-created as a local relation, which lets the
+    * marked-union cache be released eagerly on the success path too —
+    * upstream runs exactly twice (range+carry probe, final join), and no
+    * cache entry outlives the call. Degenerate limit: rows of one key at
+    * ONE identical ts still share a bucket (nothing orders them anyway). */
   def backwardBucketed(left: DataFrame, right: DataFrame, key: String, ts: String,
-      payload: Seq[String], numBuckets: Int = 32): DataFrame = {
+      payload: Seq[String], numBuckets: Int = 32,
+      maxCarryRows: Long = 1L << 18): DataFrame = {
     require(numBuckets >= 2, s"numBuckets must be ≥ 2, got $numBuckets")
     // numeric/temporal ts only: for string ts the bucket math (numeric)
     // and backward's window order (lexicographic) would disagree — reject
@@ -110,8 +116,16 @@ object AsofJoin {
     val (u0p, leftRest) = marked(left, right, key, ts, payload)
     // one materialization shared by the range probe + the 3 consumers
     val u0 = u0p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rngRow = u0.agg(min(col(ts).cast("double")), max(col(ts).cast("double"))).head
+    val rngRow = u0.agg(min(col(ts).cast("double")), max(col(ts).cast("double")),
+      approx_count_distinct(col(key))).head
     if (rngRow.isNullAt(0)) { // all-null/empty ts: nothing to bucket
+      u0.unpersist()
+      return backward(left, right, key, ts, payload)
+    }
+    // carry-frame guard: keys × buckets beyond the broadcast budget means
+    // the key space is wide, i.e. no hot key — backward's one window wins
+    // (±~2% HLL error; maxCarryRows is a budget, not a cliff)
+    if (rngRow.getLong(2) * numBuckets > maxCarryRows) {
       u0.unpersist()
       return backward(left, right, key, ts, payload)
     }
@@ -140,7 +154,15 @@ object AsofJoin {
       .join(bucketLast, Seq(key, "__bucket"), "left")
       .withColumn("__carry", last(col("__blast"), ignoreNulls = true).over(wCarry))
       .select(col(key), col("__bucket"), col("__carry"))
-    local.join(broadcast(carry), Seq(key, "__bucket"))
+    // localize the (guard-bounded) carry so the marked-union cache can be
+    // released NOW instead of living until LRU eviction; the final join
+    // then re-derives the map-only union once
+    val carryRows = carry.collect()
+    val carrySchema = carry.schema
+    u0.unpersist()
+    val carryLocal = left.sparkSession.createDataFrame(
+      java.util.Arrays.asList(carryRows: _*), carrySchema)
+    local.join(broadcast(carryLocal), Seq(key, "__bucket"))
       .withColumn("__payload", coalesce(col("__local"), col("__carry")))
       .filter(col("__side") === 1)
       .select(Seq(col(key), col(ts)) ++ leftRest.map(col) ++

@@ -123,14 +123,37 @@ class AsofJoinSpec extends SparkSpec {
         if (x.isNullAt(3)) -1L else x.getLong(3))).toSet
     assert(canon(out) == canon(AsofJoin.backward(l, r, "k", "ts", Seq("rid"))))
     // plan shape: the corpus carry window is keyed (k, __bucket) — 16
-    // independent groups for this key, multi-task under hash partitioning
-    // — and only the tiny bucket-level carry window is keyed by k alone
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // independent groups for this key, multi-task under hash partitioning.
+    // The bucket-level carry was localized eagerly, so NO per-key-only
+    // window survives into the distributed job at all.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val lp = out.queryExecution.optimizedPlan
     val wins = lp.collect { case w: LWindow => w }
     assert(wins.exists(_.partitionSpec.size == 2))
-    val keyOnly = wins.filter(_.partitionSpec.size == 1)
-    assert(keyOnly.nonEmpty)
-    assert(keyOnly.forall(w => w.child.collectFirst { case a: Aggregate => a }.nonEmpty))
+    assert(wins.forall(_.partitionSpec.size == 2))
+  }
+
+  test("bucketed variant: wide key space auto-falls back to backward (carry guard)") {
+    val l = (0 until 5000).map(i => (i.toLong, (i * 7L) % 500, i.toLong))
+      .toDF("k", "ts", "lid")
+    val r = (0 until 5000).map(i => (i.toLong, (i * 3L) % 500, 1000000L + i))
+      .toDF("k", "ts", "rid")
+    // 5000 keys × 16 buckets = 80k carry rows > maxCarryRows=1000 → backward
+    val guarded = AsofJoin.backwardBucketed(l, r, "k", "ts", Seq("rid"),
+      numBuckets = 16, maxCarryRows = 1000L)
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, Window => LWindow}
+    val lp = guarded.queryExecution.optimizedPlan
+    assert(lp.collect { case j: LJoin => j }.isEmpty, "guard did not fall back")
+    assert(lp.collect { case w: LWindow => w }.forall(_.partitionSpec.size == 1))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3))).toSet
+    assert(canon(guarded) == canon(AsofJoin.backward(l, r, "k", "ts", Seq("rid"))))
+    // within budget, the bucketed plan (with its localized-carry join) runs
+    val inBudget = AsofJoin.backwardBucketed(l, r, "k", "ts", Seq("rid"),
+      numBuckets = 4, maxCarryRows = 1L << 18)
+    assert(inBudget.queryExecution.optimizedPlan
+      .collect { case j: LJoin => j }.nonEmpty)
+    assert(canon(inBudget) == canon(guarded))
   }
 }
