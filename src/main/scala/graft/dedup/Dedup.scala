@@ -245,19 +245,29 @@ object Dedup {
     * N / 2^bandBits per band — shrink bandBits (more, narrower bands) only
     * for higher Hamming radii, and widen it (e.g. 2 × 16 bits for Hamming
     * ≤ 1) to keep occupancy bounded as N grows. */
-  /** `bucketCap < 0` (the default) sizes the cap from the corpus via
-    * [[simhashCapFor]] — one cheap count() up front. A FIXED default
-    * would be structurally wrong here: simhash band keys live in the
-    * fixed 2^bandBits keyspace, so expected occupancy grows with N and a
-    * constant cap silently drops essentially every bucket at corpus
+  /** `bucketCap < 0` (the default) sizes the cap from the corpus IN-PLAN:
+    * a one-row count aggregate broadcast-cross-joined onto the banded
+    * frame (the lmScore one-row-vocab pattern), evaluating
+    * [[simhashCapFor]]'s integer formula as a Column. The operator stays
+    * lazily composable — no action at construction time, no second run of
+    * an expensive upstream pipeline — and the count branch is a
+    * column-pruned scan of `documents` inside the same job. A FIXED
+    * default would be structurally wrong here: simhash band keys live in
+    * the fixed 2^bandBits keyspace, so expected occupancy grows with N
+    * and a constant cap silently drops essentially every bucket at corpus
     * scale (the failure simhashCapFor's scaladoc derives). */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3, bandBits: Int = 8,
                    bucketCap: Int = -1): DataFrame = {
     val nBands = SimhashBits / bandBits
     require(nBands >= maxHamming + 1,
       s"need ≥ ${maxHamming + 1} bands for Hamming ≤ $maxHamming, got $nBands")
-    val cap = if (bucketCap >= 0) bucketCap
-      else simhashCapFor(documents.count(), bandBits)
+    val capCol: Column =
+      if (bucketCap >= 0) lit(bucketCap.toLong)
+      else least(
+        greatest(lit(DefaultBucketCap.toLong),
+          lit(16L) * ceil(col("__corpus_n").cast("double") / (1L << bandBits)).cast("long")),
+        lit(Int.MaxValue.toLong))
+    val capFrame = documents.agg(count(lit(1)).as("__corpus_n"))
     val mask = (1L << bandBits) - 1
     val sh = simhashValues(documents)
     val banded = sh.select(col("doc_id"), col("simhash"),
@@ -272,7 +282,9 @@ object Dedup {
     val wBucket = Window.partitionBy("band_id", "band_key")
     banded
       .withColumn("occ", count(lit(1)).over(wBucket))
-      .filter(col("occ").between(2, cap))
+      .crossJoin(broadcast(capFrame))
+      .filter(col("occ") >= 2 && col("occ") <= capCol)
+      .drop("__corpus_n")
       .groupBy("band_id", "band_key")
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ids"))
       .select(explode(col("ids")).as("a"), col("ids"))

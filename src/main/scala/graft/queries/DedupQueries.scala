@@ -173,9 +173,8 @@ object DedupQueries {
          |JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
          |  AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin) { (s, dir) =>
-      val aug = augmented(s, dir)
-      Dedup.simhashPairs(aug, maxHamming = 3,
-        bucketCap = Dedup.simhashCapFor(aug.count(), bandBits = 8))
+      // default bucketCap = the lazily-derived in-plan corpus cap
+      Dedup.simhashPairs(augmented(s, dir), maxHamming = 3)
     },
 
     // Duplicate clustering: pairwise evidence (exact star-edges to the

@@ -67,6 +67,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhashPairs default cap composes lazily (no job at construction)") {
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    val plan = Dedup.simhashPairs(docs, maxHamming = 3) // default in-plan cap
+    assert(tracker.getJobIdsForGroup(null).length == before,
+      "constructing simhashPairs ran a Spark job (eager corpus count)")
+    // the in-plan cap filters like the driver-side formula would
+    val expected = Dedup.simhashCapFor(docs.count())
+    val viaExplicit = Dedup.simhashPairs(docs, maxHamming = 3, bucketCap = expected)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLazy = plan
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLazy == viaExplicit)
+  }
+
   test("text ops: token counts, quality, language id, fingerprints") {
     val r = docs.filter($"doc_id" === 1).select(
       TextOps.tokenCount(col("text")),
