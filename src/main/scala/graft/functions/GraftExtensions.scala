@@ -29,7 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def intArg(e: Expression, fn: String, arg: String): Int = {
     val value = e match {
       case lit: Literal => lit.value
-      case other if other.foldable => other.eval()
+      case other if other.foldable =>
+        // a foldable expression can still be UNRESOLVED at function-binding
+        // time, where eval() throws an internal UnresolvedException — route
+        // that into the same user-facing rejection below
+        try other.eval() catch { case _: Exception => null }
       case _ => null
     }
     // integral types only — a string or fractional literal must be

@@ -475,13 +475,15 @@ object TokenQueries {
     // dedup must expire state). Event time is synthesized deterministically
     // from doc_id; state for a content hash expires once the watermark
     // passes its event time (the cross-batch expiry/re-emit semantics are
-    // T-gated in StreamingSpec). Single AvailableNow batch here, so the
-    // emitted set is exactly the distinct hashes.
+    // T-gated in StreamingSpec). The DISTINCT equivalence must hold even
+    // if AvailableNow splits the input across micro-batches (multi-file
+    // corpora do), so event times span LESS than the watermark delay — no
+    // state can expire mid-run regardless of batch boundaries.
     Q("stream_dedup_watermarked",
       """SELECT DISTINCT md5(text) AS content_hash FROM documents""") { (s, dir) =>
       StreamRun.availableNow(documentsStream(s, dir)
         .withColumn("ts",
-          timestamp_seconds(lit(1700000000L) + col("doc_id").cast("long") % 1000))
+          timestamp_seconds(lit(1700000000L) + col("doc_id").cast("long") % 8))
         .withWatermark("ts", "10 seconds")
         .select(col("ts"), md5(col("text")).as("content_hash"))
         .dropDuplicatesWithinWatermark("content_hash")

@@ -44,7 +44,15 @@ object StreamingPacker {
     * chunk (mirrors the batch packer's per-chunk piece count); maxDocId:
     * largest doc_id ever delivered to this source (zero-token docs
     * included) — the sentinel that turns a violated cross-batch ordering
-    * contract into a loud failure instead of silently-divergent chunks. */
+    * contract into a loud failure instead of silently-divergent chunks.
+    *
+    * Checkpoint-compat note: this case class IS the stateful operator's
+    * state encoder schema (flatMapGroupsWithState and transformWithState
+    * alike). Changing its fields — as adding `maxDocId` did — breaks
+    * deserialization of checkpoints written by the previous shape; a
+    * packer upgraded across such a change must restart from a fresh
+    * checkpoint directory (and, for exactly-once sinks, re-emit from the
+    * source's retained history). */
   final case class PackState(nextChunkId: Long, buffer: Seq[Int], docsInCur: Long,
       maxDocId: Option[String] = None)
 

@@ -241,6 +241,18 @@ object TokenPipeline {
     * and the chunk assembly, and the value of `off` — hence every
     * downstream chunk — is identical to the single-window form
     * (TokenPipelineSpec asserts; identical oracle). */
+  /** One-slot cache lifecycle for the pack metadata frame: the persist is
+    * load-bearing (phase-1 local prefixes and phase-2 base offsets must
+    * observe the SAME spark_partition_id assignment, and AQE does not
+    * reuse divergently-pruned exchanges), but it must not accumulate — a
+    * long-running curation service calls packChunks per batch. Each call
+    * releases the previous call's frame, so at most one ~16-byte/row
+    * metadata frame is ever cached per JVM. Concurrent packChunks plans
+    * built before the earlier one executes would recompute (correct,
+    * just uncached) — sequential pipelines, the normal case, never do. */
+  private val lastPackMeta =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   def packChunks(tokens: DataFrame, chunkSize: Int = 128): DataFrame = {
     val c = chunkSize
     val nParts = tokens.sparkSession.sessionState.conf.numShufflePartitions
@@ -249,6 +261,8 @@ object TokenPipeline {
       .repartitionByRange(nParts, col("source"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prevMeta = lastPackMeta.getAndSet(meta)
+    if (prevMeta != null) { prevMeta.unpersist(); () }
     // (1) local prefix within (range partition, source) — parallel across
     // the range partitions regardless of how few sources exist
     val localPrev = Window.partitionBy("pid", "source").orderBy("doc_id")

@@ -48,6 +48,18 @@ class TokenPipelineSpec extends SparkSpec {
     assert(chunk3 == doc3.takeRight(2))
   }
 
+  test("packChunks metadata cache: repeated calls never hold more than one frame") {
+    val t = TokenPipeline.fromDocuments(docs(
+      ("01", "a b c d", "s1"), ("02", "e f g h", "s1"), ("10", "x y z", "s2")))
+    def cachedMeta() = spark.sparkContext.getPersistentRDDs.values
+      .count(_.name != null) // all persisted RDDs (the suite shares the session)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    for (_ <- 0 until 5) TokenPipeline.packChunks(t, chunkSize = 4).count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"packChunks leaked cached metadata frames: $before → $after (${cachedMeta()})")
+  }
+
   test("packChunks: two-phase offsets reproduce the per-source running sum exactly") {
     // 3 sources × 40 docs of varying lengths at shuffle.partitions=4, so
     // every source straddles several range partitions and the broadcast
