@@ -87,14 +87,70 @@ object Multimodal {
     out
   }
 
+  /** PNG / JPEG via the JDK's ImageIO (real-world formats a 100 TB
+    * multimodal corpus actually contains). PNG is lossless — the decoded
+    * raster equals the source exactly, so it joins the value-golden
+    * lanes; JPEG is lossy — dims/channels are exact, pixels approximate
+    * (tolerance-gated in MultimodalSpec, dims-only in the oracle). */
+  def encodePng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
+    imageIoEncode(w, h, rgb, "png")
+
+  def encodeJpeg(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
+    imageIoEncode(w, h, rgb, "jpg")
+
+  private def imageIoEncode(w: Int, h: Int, rgb: Array[Byte], fmt: String): Array[Byte] = {
+    require(rgb.length == 3 * w * h)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val s = (y * w + x) * 3
+        img.setRGB(x, y, ((rgb(s) & 0xff) << 16) | ((rgb(s + 1) & 0xff) << 8) | (rgb(s + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, baos), s"no ImageIO writer for $fmt")
+    baos.toByteArray
+  }
+
   // ---- decoders (the real codec) --------------------------------------
 
-  /** Magic-byte dispatch → (width, height, top-down row-major RGB). */
+  /** Magic-byte dispatch → (width, height, top-down row-major RGB):
+    * PPM/BMP through the pure-JVM parser, PNG/JPEG through ImageIO. */
   def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Byte]) =
     if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G') decodeImageIo(bytes)
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      decodeImageIo(bytes)
     else throw new IllegalArgumentException(
       s"unsupported media payload (magic ${bytes.take(2).mkString(",")})")
+
+  def decodeImageIo(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "ImageIO could not decode payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    val rgb = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val d = (y * w + x) * 3
+        rgb(d) = ((p >> 16) & 0xff).toByte
+        rgb(d + 1) = ((p >> 8) & 0xff).toByte
+        rgb(d + 2) = (p & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, rgb)
+  }
 
   def decodePpm(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
     var pos = 2 // past "P6"
@@ -171,6 +227,30 @@ object Multimodal {
     if (docId % 2 == 0) encodePpm(w, h, rgb) else encodeBmp(w, h, rgb)
   }
 
+  /** Four-lane variant of [[payloadFor]]: doc_id mod 4 → PPM / BMP / PNG /
+    * JPEG, same md5-derived dims/raster rule. */
+  def payloadFor4(docId: Long, digest: Array[Byte]): Array[Byte] = {
+    val w = 1 + (digest(0) & 0xff) % 8
+    val h = 1 + (digest(1) & 0xff) % 8
+    val rgb = Array.tabulate(3 * w * h)(j => digest((j + 2) % digest.length))
+    (docId % 4) match {
+      case 0 => encodePpm(w, h, rgb)
+      case 1 => encodeBmp(w, h, rgb)
+      case 2 => encodePng(w, h, rgb)
+      case _ => encodeJpeg(w, h, rgb)
+    }
+  }
+
+  def withPayload4(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id").cast("long").as("doc_id"), md5(col("text")).as("hex"))
+      .as[(Long, String)]
+      .map { case (id, hex) => MediaRow(id, payloadFor4(id, hexBytes(hex))) }
+      .toDF()
+  }
+
   /** Attach a real encoded image payload derived from the text column
     * (test stand-in for a real media blob column in the source table). */
   def withPayload(documents: DataFrame): DataFrame = {
@@ -218,5 +298,10 @@ object Multimodal {
   def decodeDocuments(spark: SparkSession, documents: DataFrame): Dataset[DecodedRow] = {
     import spark.implicits._
     decode(withPayload(documents).as[MediaRow])
+  }
+
+  def decodeDocuments4(spark: SparkSession, documents: DataFrame): Dataset[DecodedRow] = {
+    import spark.implicits._
+    decode(withPayload4(documents).as[MediaRow])
   }
 }

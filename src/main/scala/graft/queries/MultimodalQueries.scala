@@ -55,6 +55,28 @@ object MultimodalQueries {
         .select("doc_id", "n_bytes", "width", "height", "channels", "mean_byte")
     },
 
+    // Four-format dispatch over the SAME corpus: PPM / BMP / PNG / JPEG by
+    // doc_id mod 4 (PNG/JPEG through the JDK's ImageIO — the formats a
+    // real multimodal corpus contains). PNG is lossless so its decoded
+    // mean matches the generation rule exactly; JPEG dims/channels are
+    // exact but pixels are lossy — mean_byte is NULL in both engines for
+    // that lane (pixel tolerance is gated in MultimodalSpec instead).
+    Q("multimodal_decode_4fmt",
+      s"""WITH $bytesCte
+         |SELECT doc_id, CAST(doc_id % 4 AS INT) AS fmt,
+         |  width, height, CAST(3 AS INT) AS channels,
+         |  CASE WHEN doc_id % 4 = 3 THEN NULL
+         |       ELSE list_avg(list_transform(generate_series(0, n - 1),
+         |         j -> ${pxSql("j")})) END AS mean_byte
+         |FROM dims""".stripMargin) { (s, dir) =>
+      Multimodal.decodeDocuments4(s, Tables.documents(s, dir))
+        .toDF()
+        .select(col("doc_id"), (col("doc_id") % 4).cast("int").as("fmt"),
+          col("width"), col("height"), col("channels"),
+          when(col("doc_id") % 4 === 3, lit(null).cast("double"))
+            .otherwise(col("mean_byte")).as("mean_byte"))
+    },
+
     // Fixed-shape feature vectors + frame samples: binary-array plumbing.
     // The 8 feature lanes are projected to scalar columns (the gate can't
     // sort raw arrays); the oracle recomputes each lane from the DECODED

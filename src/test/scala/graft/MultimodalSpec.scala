@@ -31,6 +31,46 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PNG roundtrip: lossless through ImageIO, magic-dispatched") {
+    for ((w, h) <- Seq((1, 1), (3, 2), (8, 8))) {
+      val px = raster(w, h)
+      val bytes = Multimodal.encodePng(w, h, px)
+      assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P')
+      val (dw, dh, out) = Multimodal.decodeImage(bytes)
+      assert((dw, dh) == (w, h))
+      assert(out.toSeq == px.toSeq) // PNG is lossless
+    }
+  }
+
+  test("JPEG roundtrip: exact dims, pixels within lossy tolerance") {
+    for ((w, h) <- Seq((8, 8), (5, 7))) {
+      val px = raster(w, h)
+      val bytes = Multimodal.encodeJpeg(w, h, px)
+      assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      val (dw, dh, out) = Multimodal.decodeImage(bytes)
+      assert((dw, dh) == (w, h))
+      assert(out.length == px.length)
+      // lossy: mean absolute error bounded (default-quality JPEG on a
+      // smooth-ish synthetic raster)
+      val mae = px.indices.map(i => math.abs((px(i) & 0xff) - (out(i) & 0xff))).sum.toDouble / px.length
+      assert(mae < 48.0, s"jpeg mae $mae for ${w}x$h")
+    }
+  }
+
+  test("four-lane dispatch: payloadFor4 selects by doc_id mod 4") {
+    val digest = Array.tabulate(16)(i => (i * 29 + 3).toByte)
+    assert(Multimodal.payloadFor4(0L, digest)(0) == 'P')
+    assert(Multimodal.payloadFor4(1L, digest)(0) == 'B')
+    assert((Multimodal.payloadFor4(2L, digest)(0) & 0xff) == 0x89)
+    assert((Multimodal.payloadFor4(3L, digest)(0) & 0xff) == 0xff)
+    // all four decode to the SAME dims from the same digest
+    val dims = (0L to 3L).map { id =>
+      val (w, h, _) = Multimodal.decodeImage(Multimodal.payloadFor4(id, digest))
+      (w, h)
+    }
+    assert(dims.distinct.size == 1)
+  }
+
   test("PPM header parsing: comments and multi-digit dims") {
     val px = raster(12, 10)
     val withComment = ("P6\n# a comment line\n12 10\n255\n").getBytes("US-ASCII") ++ px
