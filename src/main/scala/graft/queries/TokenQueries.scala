@@ -121,7 +121,92 @@ object TokenQueries {
       element_at(col("tokens"), -1).as("last_token"),
       col("n_docs"))
 
+  /** CCNet-style composed curation (Wenzek et al. 2020, arXiv:1911.00359):
+    * exact-dedup → quality gate → language ID → self-scored LM perplexity →
+    * per-language head/middle/tail terciles. One oracle-checked query
+    * composing four operator families the way a real curation pipeline
+    * chains them; the bigram-count exchange is shared between the c(a,b)
+    * and c(a) aggregates exactly as in lmScore. */
+  private val ccnetOracle: String = {
+    val tokIdSql = s"list_transform($toksSql, w -> CAST(('0x' || substring(md5(w), 1, 8))::BIGINT % 1000000007 AS INT))"
+    val scores = graft.text.TextOps.LangMarkers.map { case (lang, ws) =>
+      lang -> ws.map(w => s"len(list_filter($toksSql, x -> x = '$w'))").mkString(" + ")
+    }
+    val scoreCols = scores.map { case (l, e) => s"$e AS score_$l" }.mkString(",\n    ")
+    val m = s"greatest(${scores.map("score_" + _._1).mkString(", ")})"
+    val caseArm = scores.map { case (l, _) => s"WHEN score_$l = $m THEN '$l'" }.mkString(" ")
+    s"""WITH canon AS (
+       |  SELECT * FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS cn FROM documents
+       |  ) WHERE doc_id = cn
+       |), ls AS (
+       |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, $scoreCols
+       |  FROM canon
+       |), t AS (
+       |  SELECT doc_id, CASE $caseArm ELSE 'und' END AS lang_pred,
+       |    $tokIdSql AS tokens, len($toksSql)::INT AS n_tok
+       |  FROM ls
+       |), sv AS (
+       |  SELECT * FROM t
+       |  WHERE n_tok >= 10 AND len(list_distinct(tokens))::DOUBLE / n_tok >= 0.3
+       |), bg AS (
+       |  SELECT doc_id, tokens[i] AS a, tokens[i + 1] AS b
+       |  FROM (SELECT doc_id, tokens, unnest(generate_series(1, n_tok - 1)) AS i
+       |        FROM sv WHERE n_tok >= 2)
+       |), cab AS (
+       |  SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b
+       |), ca AS (
+       |  SELECT a, count(*) AS c_a FROM bg GROUP BY a
+       |), v AS (
+       |  SELECT count(DISTINCT tok) AS vs FROM (SELECT unnest(tokens) AS tok FROM sv)
+       |), scored AS (
+       |  SELECT bg.doc_id,
+       |    CAST(round(ln((coalesce(cab.c_ab, 0) + 1)::DOUBLE /
+       |      (coalesce(ca.c_a, 0) + v.vs)::DOUBLE), 9) AS DECIMAL(38,12)) AS lp
+       |  FROM bg
+       |  LEFT JOIN cab ON bg.a = cab.a AND bg.b = cab.b
+       |  LEFT JOIN ca ON bg.a = ca.a
+       |  CROSS JOIN v
+       |), agg AS (
+       |  SELECT doc_id, CAST(round(sum(lp), 9) AS DOUBLE) / count(*) AS avg_logp
+       |  FROM scored GROUP BY doc_id
+       |)
+       |SELECT doc_id, lang_pred, n_tok, avg_logp,
+       |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM (
+       |  SELECT s.doc_id, s.lang_pred, s.n_tok, a.avg_logp,
+       |    ntile(3) OVER (PARTITION BY s.lang_pred ORDER BY a.avg_logp DESC, s.doc_id) AS nt
+       |  FROM sv s JOIN agg a USING (doc_id)
+       |)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+
+    Q("curation_ccnet", ccnetOracle) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.text.TextOps
+      val docs = Tables.documents(s, dir)
+      val canon = docs
+        .withColumn("__canon", min("doc_id").over(Window.partitionBy(md5(col("text")))))
+        .filter(col("doc_id") === col("__canon"))
+      val toks = TextOps.tokens(col("text"))
+      val base = canon.select(
+        col("doc_id").cast("string").as("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"),
+        transform(toks, TokenPipeline.tokenId(_)).as("tokens"),
+        size(toks).cast("int").as("n_tok"))
+      val survivors = base.filter(col("n_tok") >= 10 &&
+        size(array_distinct(col("tokens"))).cast("double") / col("n_tok") >= 0.3)
+      val scored = TokenPipeline.lmScore(survivors, survivors)
+      val wB = Window.partitionBy("lang_pred")
+        .orderBy(col("avg_logp").desc, col("doc_id"))
+      survivors.select("doc_id", "lang_pred", "n_tok")
+        .join(scored.select("doc_id", "avg_logp"), "doc_id")
+        .withColumn("__nt", ntile(3).over(wB))
+        .select(col("doc_id"), col("lang_pred"), col("n_tok"), col("avg_logp"),
+          when(col("__nt") === 1, "head").when(col("__nt") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+    },
 
     Q("tokens_vocab_stats",
       s"""WITH ${tokensCte("documents")}, ex AS (
