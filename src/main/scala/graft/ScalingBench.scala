@@ -93,13 +93,50 @@ object ScalingBench {
     (rows, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Adversarial decontamination job: the benchmark side is sized PAST the
+    * broadcast budget (kBench × ~236k ≈ 10⁷ distinct window hashes ≈ 80 MB
+    * at sf0.1, vs the 10 MB autoBroadcast threshold), so stats degrade the
+    * hash-set join to a shuffle join — the documented fallback regime for
+    * giant eval suites. Bench replicas shift every token by a
+    * replica-dependent offset (every window distinct); 1% of corpus docs
+    * get an unshifted benchmark copy, so real hits flow through the
+    * per-doc aggregate without the degenerate all-windows-hit case. */
+  def decontamJob(spark: SparkSession, sfDir: String, kBench: Int, kCorpus: Int)
+      : (Long, Double) = {
+    import org.apache.spark.sql.functions._
+    import graft.core.Tables
+    import graft.text.TokenPipeline
+    val P = 1000000007L
+    val t0 = System.nanoTime()
+    val base = TokenPipeline.fromDocuments(
+      Tables.documents(spark, sfDir).repartition(spark.sparkContext.defaultParallelism * 2))
+    val shiftedBench = base
+      .select(explode(sequence(lit(1L), lit(kBench.toLong))).as("r"), col("*"))
+      .select(format_string("b%03d%s", col("r"), col("doc_id")).as("doc_id"),
+        transform(col("tokens"), t => ((t + col("r") * 1000003L) % P).cast("int")).as("tokens"),
+        col("n_tok"), col("source"))
+    val bench = shiftedBench.unionByName(
+      base.filter(col("doc_id").cast("long") % 100 === 0)
+        .select(concat(lit("b_raw"), col("doc_id")).as("doc_id"),
+          col("tokens"), col("n_tok"), col("source")))
+    val corpus = base
+      .select(explode(sequence(lit(0L), lit(kCorpus - 1L))).as("r"), col("*"))
+      .select(format_string("c%03d%s", col("r"), col("doc_id")).as("doc_id"),
+        col("tokens"), col("n_tok"), col("source"))
+    TokenPipeline.contaminatedDocs(corpus, bench, w = 8)
+      .write.mode("overwrite").format("noop").save()
+    val rows = corpus.count()
+    (rows, (System.nanoTime() - t0) / 1e9)
+  }
+
   /** One timed run of both jobs in a fresh local[cores] session:
     * (valuation rows, valuation sec, corpus rows, corpus sec). kCorpus is
     * sized independently: the codegen'd kernels made the corpus job ~10×
     * faster than round 1, so it needs ~10× more rows for the measured
     * window to dwarf fixed per-job overheads. */
-  def runOnce(cores: Int, sfDir: String, k: Int, kCorpus: Int)
-      : (Long, Double, Long, Double, Double, Long, Double) = {
+  def runOnce(cores: Int, sfDir: String, k: Int, kCorpus: Int,
+              kBenchDecontam: Int, kCorpusDecontam: Int)
+      : (Long, Double, Long, Double, Double, Long, Double, Long, Double) = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
@@ -116,10 +153,11 @@ object ScalingBench {
     val packed = Bench.valuationPipelinePacked(spark, actions)
     val corpus = corpusJob(spark, sfDir, kCorpus)
     val pack = packJob(spark, sfDir, kCorpus)
+    val deco = decontamJob(spark, sfDir, kBenchDecontam, kCorpusDecontam)
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    (out._1, out._2, corpus._1, corpus._2, packed._2, pack._1, pack._2)
+    (out._1, out._2, corpus._1, corpus._2, packed._2, pack._1, pack._2, deco._1, deco._2)
   }
 
   /** Raw CPU scaling ceiling: spin-loop throughput ratio at 4N vs N threads. */
@@ -156,19 +194,27 @@ object ScalingBench {
 
     val ceiling = cpuCeiling(nSmall)
 
+    val kBenchDecontam = args.lift(5).map(_.toInt).getOrElse(45)
+    val kCorpusDecontam = args.lift(6).map(_.toInt).getOrElse(20)
+
     var rows = 0L
     var corpusRows = 0L
     var packRows = 0L
+    var decoRows = 0L
     val results = (1 to rounds).map { r =>
-      val (rs, ts, cs, tcs, tps, ps, tpk) = runOnce(nSmall, sfDir, k, kCorpus)
-      val (rl, tl, cl, tcl, tpl, pl, tpkl) = runOnce(nLarge, sfDir, k, kCorpus)
-      require(rs == rl && cs == cl && ps == pl, s"row counts differ: $rs/$rl $cs/$cl $ps/$pl")
+      val (rs, ts, cs, tcs, tps, ps, tpk, ds, tds) =
+        runOnce(nSmall, sfDir, k, kCorpus, kBenchDecontam, kCorpusDecontam)
+      val (rl, tl, cl, tcl, tpl, pl, tpkl, dl, tdl) =
+        runOnce(nLarge, sfDir, k, kCorpus, kBenchDecontam, kCorpusDecontam)
+      require(rs == rl && cs == cl && ps == pl && ds == dl,
+        s"row counts differ: $rs/$rl $cs/$cl $ps/$pl $ds/$dl")
       rows = rs
       corpusRows = cs
       packRows = ps
+      decoRows = ds
       System.err.println(
-        f"round $r: valuation small=$ts%.1fs large=$tl%.1fs | packed small=$tps%.1fs large=$tpl%.1fs | corpus small=$tcs%.1fs large=$tcl%.1fs | pack1src small=$tpk%.1fs large=$tpkl%.1fs")
-      (ts, tl, tcs, tcl, tps, tpl, tpk, tpkl)
+        f"round $r: valuation small=$ts%.1fs large=$tl%.1fs | packed small=$tps%.1fs large=$tpl%.1fs | corpus small=$tcs%.1fs large=$tcl%.1fs | pack1src small=$tpk%.1fs large=$tpkl%.1fs | decontam small=$tds%.1fs large=$tdl%.1fs")
+      (ts, tl, tcs, tcl, tps, tpl, tpk, tpkl, tds, tdl)
     }
 
     def report(name: String, n: Long, small: Seq[Double], large: Seq[Double]): Unit = {
@@ -183,5 +229,6 @@ object ScalingBench {
     report("valuation_packed", rows, results.map(_._5), results.map(_._6))
     report("corpus", corpusRows, results.map(_._3), results.map(_._4))
     report("pack_1source", packRows, results.map(_._7), results.map(_._8))
+    report("decontam", decoRows, results.map(_._9), results.map(_._10))
   }
 }
