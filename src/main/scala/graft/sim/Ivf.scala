@@ -59,20 +59,30 @@ object Ivf {
       val init = embq.orderBy(h.asc, col("vec_id").asc).limit(nlist)
         .select("q").collect()
       var cents: Array[Array[Double]] = init.map(r => r.getSeq[Double](0).toArray)
+      val dim = cents(0).length
       for (_ <- 0 until iters) {
-        val idx = Index(cents(0).length, cents)
+        val idx = Index(dim, cents)
+        // per-cell means as `dim` aggregate expressions over element_at —
+        // no Generate node (the posexplode form additionally tripped a
+        // janino method-split bug inside the combined stage, falling back
+        // to interpreted eval) and no dim× row explosion in the exchange
+        val aggs = (0 until dim).map(d =>
+          round(sum(element_at(col("q"), d + 1).cast("decimal(38,18)"))
+            .cast("decimal(38,6)").cast("double")
+            / count(lit(1)).cast("double"), 6).as(s"m$d"))
         val means = embq
           .withColumn("cellq", cell(col("q"), idx))
-          .select(col("cellq"), posexplode(col("q")).as(Seq("dim", "v")))
-          .groupBy("cellq", "dim")
-          .agg(round(sum(col("v").cast("decimal(38,18)")).cast("decimal(38,6)").cast("double")
-            / count(lit(1)).cast("double"), 6).as("m"))
+          .groupBy("cellq").agg(aggs.head, aggs.tail: _*)
           .collect()
         val next = cents.map(_.clone()) // empty cells keep their centroid
-        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        means.foreach { r =>
+          val c = r.getInt(0)
+          var d = 0
+          while (d < dim) { next(c)(d) = r.getDouble(d + 1); d += 1 }
+        }
         cents = next
       }
-      Index(cents(0).length, cents)
+      Index(dim, cents)
     } finally { embq.unpersist(); () }
   }
 
