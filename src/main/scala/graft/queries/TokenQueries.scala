@@ -180,6 +180,9 @@ object TokenQueries {
        |)""".stripMargin
   }
 
+  private val lastCcnetSurvivors =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   val all: Seq[Q] = Seq(
 
     Q("curation_ccnet", ccnetOracle) { (s, dir) =>
@@ -195,8 +198,16 @@ object TokenQueries {
         TextOps.langId(col("text")).as("lang_pred"),
         transform(toks, TokenPipeline.tokenId(_)).as("tokens"),
         size(toks).cast("int").as("n_tok"))
+      // the survivor frame feeds FOUR consumers (bigram model, bigram
+      // scoring, vocabulary, final join) and alias-divergent subtrees defeat
+      // AQE exchange reuse — persist it once (one-slot lifecycle like
+      // packChunks: the next invocation releases it), so the whole pipeline
+      // scans `documents` once instead of five times
       val survivors = base.filter(col("n_tok") >= 10 &&
         size(array_distinct(col("tokens"))).cast("double") / col("n_tok") >= 0.3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val prev = lastCcnetSurvivors.getAndSet(survivors)
+      if (prev != null) { prev.unpersist(); () }
       val scored = TokenPipeline.lmScore(survivors, survivors)
       val wB = Window.partitionBy("lang_pred")
         .orderBy(col("avg_logp").desc, col("doc_id"))
