@@ -115,6 +115,11 @@ object Dedup {
     * the cap costs essentially nothing. */
   val DefaultBucketCap = 256
 
+  /** Skew multiplier over expected occupancy for corpus-relative caps —
+    * shared by [[simhashCapFor]] and the in-plan default in
+    * [[simhashPairs]] so the two can never drift. */
+  val SkewFactor = 16
+
   /** SimHash bucket cap. Unlike minhash bands (content-derived keys, huge
     * keyspace — only true near-dup clusters collide, so a FIXED cap is
     * right), simhash band keys live in the fixed 2^bandBits keyspace, so
@@ -125,7 +130,7 @@ object Dedup {
     * banding is saturated and no cap can save it — widen the signature /
     * bands (simhashPairs scaladoc), which this cap turns from an OOM into
     * an explicit, logged drop. */
-  def simhashCapFor(corpusSize: Long, bandBits: Int = 8, skewFactor: Int = 16): Int = {
+  def simhashCapFor(corpusSize: Long, bandBits: Int = 8, skewFactor: Int = SkewFactor): Int = {
     val expected = math.ceil(corpusSize.toDouble / (1L << bandBits)).toLong
     math.max(DefaultBucketCap.toLong, skewFactor * expected).min(Int.MaxValue).toInt
   }
@@ -261,13 +266,20 @@ object Dedup {
     val nBands = SimhashBits / bandBits
     require(nBands >= maxHamming + 1,
       s"need ≥ ${maxHamming + 1} bands for Hamming ≤ $maxHamming, got $nBands")
-    val capCol: Column =
-      if (bucketCap >= 0) lit(bucketCap.toLong)
-      else least(
-        greatest(lit(DefaultBucketCap.toLong),
-          lit(16L) * ceil(col("__corpus_n").cast("double") / (1L << bandBits)).cast("long")),
-        lit(Int.MaxValue.toLong))
-    val capFrame = documents.agg(count(lit(1)).as("__corpus_n"))
+    // the count branch exists ONLY on the default path — an explicit cap
+    // must not cost an extra run of a possibly-expensive upstream
+    val capped: DataFrame => DataFrame =
+      if (bucketCap >= 0) { df => df.filter(col("occ") >= 2 && col("occ") <= bucketCap) }
+      else { df =>
+        val capCol = least(
+          greatest(lit(DefaultBucketCap.toLong),
+            lit(SkewFactor.toLong) *
+              ceil(col("__corpus_n").cast("double") / (1L << bandBits)).cast("long")),
+          lit(Int.MaxValue.toLong))
+        df.crossJoin(broadcast(documents.agg(count(lit(1)).as("__corpus_n"))))
+          .filter(col("occ") >= 2 && col("occ") <= capCol)
+          .drop("__corpus_n")
+      }
     val mask = (1L << bandBits) - 1
     val sh = simhashValues(documents)
     val banded = sh.select(col("doc_id"), col("simhash"),
@@ -280,11 +292,7 @@ object Dedup {
     // — see DefaultBucketCap; mirrored in the DuckDB oracle.
     import org.apache.spark.sql.expressions.Window
     val wBucket = Window.partitionBy("band_id", "band_key")
-    banded
-      .withColumn("occ", count(lit(1)).over(wBucket))
-      .crossJoin(broadcast(capFrame))
-      .filter(col("occ") >= 2 && col("occ") <= capCol)
-      .drop("__corpus_n")
+    capped(banded.withColumn("occ", count(lit(1)).over(wBucket)))
       .groupBy("band_id", "band_key")
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ids"))
       .select(explode(col("ids")).as("a"), col("ids"))

@@ -32,8 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case other if other.foldable =>
         // a foldable expression can still be UNRESOLVED at function-binding
         // time, where eval() throws an internal UnresolvedException — route
-        // that into the same user-facing rejection below
-        try other.eval() catch { case _: Exception => null }
+        // ONLY that into the user-facing rejection below; genuine eval
+        // failures (ANSI overflow, divide-by-zero) keep their diagnostics
+        try other.eval() catch {
+          case _: org.apache.spark.sql.catalyst.analysis.UnresolvedException => null
+        }
       case _ => null
     }
     // integral types only — a string or fractional literal must be

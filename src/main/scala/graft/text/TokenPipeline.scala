@@ -262,7 +262,12 @@ object TokenPipeline {
       .withColumn("pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prevMeta = lastPackMeta.getAndSet(meta)
-    if (prevMeta != null) { prevMeta.unpersist(); () }
+    // the previous frame may belong to an already-stopped session (e.g.
+    // fresh-session-per-size benchmarks): unpersist on a stopped context
+    // throws — the cache died with the context, nothing to release
+    if (prevMeta != null && !prevMeta.sparkSession.sparkContext.isStopped) {
+      try prevMeta.unpersist() catch { case _: Exception => () }
+    }
     // (1) local prefix within (range partition, source) — parallel across
     // the range partitions regardless of how few sources exist
     val localPrev = Window.partitionBy("pid", "source").orderBy("doc_id")
