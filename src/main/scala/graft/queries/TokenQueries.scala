@@ -590,6 +590,25 @@ object TokenQueries {
         .select("content_hash"))
     },
 
+    // Exact dedup on transformWithState over RocksDB
+    // (streaming/DedupTws.scala) — the arbitrary-state twin of
+    // stream_dedup_watermarked. The gate runs the ttlMs=0 lane
+    // (TimeMode.None): a ProcessingTime-mode TWS query schedules batches
+    // continuously for timer/TTL advancement and never settles under
+    // AvailableNow, so the TTL lane is exercised by StreamingSpec's
+    // long-lived-query expiry test instead.
+    Q("stream_dedup_tws",
+      """SELECT DISTINCT md5(text) AS content_hash FROM documents""") { (s, dir) =>
+      import graft.streaming.{DedupTws, PackerTws}
+      import s.implicits._
+      PackerTws.withRocksDB(s) {
+        val hashes = documentsStream(s, dir)
+          .select(md5(col("text")).as("content_hash")).as[String]
+        StreamRun.availableNow(
+          DedupTws.distinctHashes(hashes, ttlMs = 0L).toDF("content_hash"))
+      }
+    },
+
     // Stateful streaming packer (streaming/StreamingPacker.scala): docs
     // consumed as a real stream, per-source flatMapGroupsWithState carries
     // the partial chunk, COMPLETE 128-token examples are emitted exactly

@@ -119,6 +119,45 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("TTL'd transformWithState dedup: drops within TTL, re-emits after expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.streaming.PackerTws.withRocksDB(spark) {
+      val input = MemoryStream[String]
+      val out = graft.streaming.DedupTws
+        .distinctHashes(input.toDS(), ttlMs = 6000L).toDF("content_hash")
+      // ProcessingTime-mode TWS schedules batches continuously (timer/TTL
+      // advancement), so processAllAvailable never settles — poll the sink
+      // with a deadline instead
+      val query = out.writeStream
+        .format("memory").queryName("dedup_tws").outputMode("append")
+        .trigger(Trigger.ProcessingTime(100))
+        .option("checkpointLocation", Files.createTempDirectory("ckpt-tws").toString)
+        .start()
+      def awaitCount(n: Long, what: String): Unit = {
+        val deadline = System.nanoTime() + 30e9.toLong
+        while (spark.table("dedup_tws").count() < n) {
+          assert(System.nanoTime() < deadline, s"timed out waiting for $what")
+          Thread.sleep(100)
+        }
+      }
+      try {
+        input.addData(Seq("a", "b", "a"))
+        awaitCount(2, "first occurrences")
+        Thread.sleep(500) // a few more batches: the in-batch dup stays absorbed
+        assert(spark.table("dedup_tws").count() == 2)
+        input.addData(Seq("a", "c"))
+        awaitCount(3, "c")
+        Thread.sleep(500)
+        assert(spark.table("dedup_tws").count() == 3) // a still in state
+        Thread.sleep(8000) // let the 6 s processing-time TTL lapse
+        input.addData(Seq("a"))
+        awaitCount(4, "re-emission of a after TTL expiry")
+        // state for a expired → fresh arrival again (bounded-state contract)
+        assert(spark.table("dedup_tws").filter($"content_hash" === "a").count() == 2)
+      } finally query.stop()
+    }
+  }
+
   test("snapshot sink: atomic versions, lineage, idempotent replay") {
     val dir = Files.createTempDirectory("snap").toString
     val table = new SnapshotTable(dir)
