@@ -252,6 +252,27 @@ object TokenQueries {
       TokenPipeline.dupSpans(TokenPipeline.fromDocuments(augmented(s, dir)), w = 16)
     },
 
+    // Span-aware duplication burden: maximal runs of consecutive
+    // duplicated window positions (gaps-and-islands over the dupSpans
+    // map), longest covered span = run + 15 tokens. The "one giant
+    // boilerplate block vs lightly contaminated" ranking signal.
+    Q("tokens_longest_dup_span",
+      s"""$augCte, ${tokensCte("aug")}$dupSpanCtes
+         |, dd AS (
+         |  SELECT doc_id, pos FROM d WHERE df >= 2
+         |), runs AS (
+         |  SELECT doc_id, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM dd
+         |), r AS (
+         |  SELECT doc_id, grp, count(*) AS run_len FROM runs GROUP BY doc_id, grp
+         |)
+         |SELECT doc_id, CAST(sum(run_len) AS BIGINT) AS n_dup_windows,
+         |  CAST(count(*) AS BIGINT) AS n_runs,
+         |  CAST(max(run_len) + 15 AS BIGINT) AS longest_span
+         |FROM r GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      TokenPipeline.longestDupSpan(TokenPipeline.fromDocuments(augmented(s, dir)), w = 16)
+    },
+
     // Span-cut statistics (the dedup the span map exists for): per doc,
     // how many token positions fall in duplicated 16-windows whose
     // globally-first occurrence lies elsewhere. Keeper = min

@@ -119,6 +119,26 @@ object TokenPipeline {
         (col("n_tok") - coalesce(col("n_cut"), lit(0L))).as("n_kept"))
   }
 
+  /** Span-aware duplication burden per doc: maximal RUNS of consecutive
+    * duplicated window positions from [[dupSpans]] (gaps-and-islands:
+    * pos − row_number is constant within a run), each run of k positions
+    * covering a duplicated span of k + w − 1 tokens. Output one row per
+    * doc WITH duplicated windows: (doc_id, n_dup_windows, n_runs,
+    * longest_span) — the "is this doc one giant boilerplate block or
+    * lightly contaminated" signal a corpus-quality dashboard ranks on,
+    * without suffix structures: two window shuffles (df + the per-doc
+    * run numbering) and a per-doc aggregate. */
+  def longestDupSpan(tokens: DataFrame, w: Int = 16): DataFrame = {
+    val dd = dupSpans(tokens, w).select("doc_id", "pos")
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    dd.withColumn("grp", col("pos") - row_number().over(wd))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run_len"))
+      .groupBy("doc_id")
+      .agg(sum("run_len").as("n_dup_windows"),
+        count(lit(1)).as("n_runs"),
+        (max("run_len") + (w - 1)).as("longest_span"))
+  }
+
   /** Document-boundary variant of [[packChunks]]: every doc gets the
     * `eos` token appended before packing (the standard GPT-style
     * boundary-marking form — each document ends with EOS, so a training

@@ -159,6 +159,22 @@ class TokenPipelineSpec extends SparkSpec {
     assert(out(1)._1 == all.drop(4).toSeq && out(1)._2 == 1L)
   }
 
+  test("longestDupSpan: runs of consecutive dup windows, span = run + w - 1") {
+    // docs share a 6-token prefix (3 consecutive dup windows at w=4 →
+    // span 6) and a 4-token suffix (1 isolated dup window); middles differ
+    val t = TokenPipeline.fromDocuments(docs(
+      ("01", "d1 d2 d3 d4 d5 d6 za zb zc e1 e2 e3 e4", "s"),
+      ("02", "d1 d2 d3 d4 d5 d6 ya yb yc e1 e2 e3 e4", "s")))
+    val out = TokenPipeline.longestDupSpan(t, w = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_dup_windows", "n_runs", "longest_span")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("01", 4L, 2L, 6L), ("02", 4L, 2L, 6L)))
+    // a doc with no duplicated windows produces no row
+    val t2 = TokenPipeline.fromDocuments(docs(("09", "u1 u2 u3 u4 u5", "s")) )
+    assert(TokenPipeline.longestDupSpan(t2, w = 4).count() == 0)
+  }
+
   test("dupSpans finds every aligned occurrence, skips short docs, df counts all") {
     val common = (1 to 16).map(i => s"w$i").mkString(" ")
     val t = TokenPipeline.fromDocuments(docs(
