@@ -252,6 +252,71 @@ object TokenQueries {
       TokenPipeline.dupSpans(TokenPipeline.fromDocuments(augmented(s, dir)), w = 16)
     },
 
+    // Vocabulary truncation: tokens outside the top-24 corpus vocab (by
+    // tf, ties to smaller id) are OOV — the stat that sizes a tokenizer
+    // vocab against a corpus (the synthetic vocabulary has 31 words, so
+    // the tail 7 genuinely map to OOV).
+    Q("tokens_oov_stats",
+      s"""WITH ${tokensCte("documents")}, ex AS (
+         |  SELECT doc_id, unnest(tokens) AS tok FROM t
+         |), tf AS (
+         |  SELECT tok, count(*) AS tf FROM ex GROUP BY tok
+         |), rare AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, row_number() OVER (ORDER BY tf DESC, tok) AS rk FROM tf
+         |  ) WHERE rk > 24
+         |), o AS (
+         |  SELECT doc_id, count(*) AS n_oov FROM ex JOIN rare USING (tok) GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, t.n_tok,
+         |  CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov,
+         |  CAST(coalesce(o.n_oov, 0) AS DOUBLE) / CAST(t.n_tok AS DOUBLE) AS oov_ratio
+         |FROM t LEFT JOIN o USING (doc_id) WHERE t.n_tok > 0""".stripMargin) { (s, dir) =>
+      TokenPipeline.oovStats(tokenTable(s, dir), k = 24)
+    },
+
+    // Temperature-scaled source mixing (p(s) ∝ n_s^α, α = 0.3): per-doc
+    // deterministic hash acceptance at rate (n_s/n_min)^(α−1); gate on
+    // the per-source summary. pow rounds to 9 on both sides (libm rule);
+    // the 20-bit hash fraction is exact. The flat synthetic source
+    // column is replaced by a deterministic power-law-ish regrouping
+    // (source = decimal digit-count of doc_id → bucket sizes 10, 90,
+    // 900, …) so the tempered rates are non-trivial: the smallest bucket
+    // keeps rate 1.0, the largest is down-sampled hardest.
+    Q("tokens_source_mix",
+      s"""WITH sk AS (
+         |  SELECT doc_id, 's' || CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) AS source
+         |  FROM documents
+         |), c AS (
+         |  SELECT source, count(*) AS n FROM sk GROUP BY source
+         |), m AS (SELECT min(n) AS nmin FROM c),
+         |r AS (
+         |  SELECT source, n,
+         |    round(pow(CAST(n AS DOUBLE) / CAST(nmin AS DOUBLE), -0.7), 9) AS accept_rate
+         |  FROM c, m
+         |), k AS (
+         |  SELECT d.source, count(*) AS n_kept
+         |  FROM sk d JOIN r USING (source)
+         |  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|' || d.source), 1, 5))::BIGINT AS DOUBLE) / 1048576.0 < r.accept_rate
+         |  GROUP BY d.source
+         |)
+         |SELECT r.source, CAST(r.n AS BIGINT) AS n_docs, r.accept_rate,
+         |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+         |FROM r LEFT JOIN k USING (source)""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("s"), length(col("doc_id").cast("string")).cast("string")).as("source"))
+      val kept = TokenPipeline.sourceMix(docs, alpha = 0.3)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val minN = counts.agg(min("n_docs").as("__nmin"))
+      counts.crossJoin(broadcast(minN))
+        .withColumn("accept_rate",
+          round(pow(col("n_docs").cast("double") / col("__nmin").cast("double"), -0.7), 9))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("accept_rate"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    },
+
     // Span-aware duplication burden: maximal runs of consecutive
     // duplicated window positions (gaps-and-islands over the dupSpans
     // map), longest covered span = run + 15 tokens. The "one giant

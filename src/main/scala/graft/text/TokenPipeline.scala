@@ -119,6 +119,53 @@ object TokenPipeline {
         (col("n_tok") - coalesce(col("n_cut"), lit(0L))).as("n_kept"))
   }
 
+  /** Vocabulary-truncation OOV statistics: tokens outside the top-`k`
+    * corpus vocabulary (by tf, ties to the smaller token id — a total
+    * order) count as OOV; output one row per non-empty doc
+    * (doc_id, n_tok, n_oov, oov_ratio) — the signal that sizes a
+    * tokenizer's vocab against a corpus. Shape: one tf aggregate (vocab
+    * rows, tiny next to the corpus), rank window over the vocab only,
+    * OOV join broadcast by stats, per-doc partial agg — the corpus
+    * payload never shuffles. */
+  def oovStats(tokens: DataFrame, k: Int): DataFrame = {
+    val ex = tokens.select(col("doc_id"), explode(col("tokens")).as("t"))
+    val tf = ex.groupBy("t").agg(count(lit(1)).as("tf"))
+    val rk = Window.orderBy(col("tf").desc, col("t"))
+    val rare = tf.withColumn("rk", row_number().over(rk))
+      .filter(col("rk") > k).select("t")
+    val oov = ex.join(rare, "t").groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
+    tokens.filter(col("n_tok") > 0).select("doc_id", "n_tok")
+      .join(oov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        (coalesce(col("n_oov"), lit(0L)).cast("double") / col("n_tok").cast("double"))
+          .as("oov_ratio"))
+  }
+
+  /** Temperature-scaled source mixing (the mT5/ROOTS sampling law,
+    * p(s) ∝ n_s^α with α < 1 boosting rare sources): realized as per-doc
+    * deterministic ACCEPTANCE with rate_s = (n_s / n_min)^(α−1) — the
+    * smallest source is kept whole, larger sources are down-sampled
+    * toward the tempered mixture — gated by a content hash, so the
+    * sample is reproducible under retries/re-partitioning and
+    * engine-mirrorable. Rates are rounded to 9 decimals (pow is the one
+    * libm call); the 20-bit hash fraction is exact, so the comparison is
+    * bit-identical on both engines. Shape: a per-source count (tiny)
+    * broadcast onto a map-only filter — the corpus never shuffles. */
+  def sourceMix(documents: DataFrame, alpha: Double = 0.3): DataFrame = {
+    val counts = documents.groupBy("source").agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min("__n").as("__nmin"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .withColumn("__rate",
+        round(pow(col("__n").cast("double") / col("__nmin").cast("double"), alpha - 1.0), 9))
+      .select(col("source"), col("__rate"))
+    val h = conv(substring(md5(concat(col("doc_id").cast("string"), lit("|"), col("source"))),
+      1, 5), 16, 10).cast("double") / 1048576.0
+    documents.join(broadcast(rates), "source")
+      .filter(h < col("__rate"))
+      .drop("__rate")
+  }
+
   /** Span-aware duplication burden per doc: maximal RUNS of consecutive
     * duplicated window positions from [[dupSpans]] (gaps-and-islands:
     * pos − row_number is constant within a run), each run of k positions

@@ -159,6 +159,32 @@ class TokenPipelineSpec extends SparkSpec {
     assert(out(1)._1 == all.drop(4).toSeq && out(1)._2 == 1L)
   }
 
+  test("oovStats: tokens outside the top-k vocab count as OOV, zero-OOV docs kept") {
+    // corpus tf: x→4, y→3, z→1, q→1 ⇒ top-2 = {x, y}
+    val t = TokenPipeline.fromDocuments(docs(
+      ("01", "x x y z", "s"), ("02", "x y y q", "s"), ("03", "x x", "s")))
+    val out = TokenPipeline.oovStats(t, k = 2).orderBy("doc_id")
+      .select("doc_id", "n_tok", "n_oov").as[(String, Int, Long)].collect().toSeq
+    assert(out == Seq(("01", 4, 1L), ("02", 4, 1L), ("03", 2, 0L)))
+  }
+
+  test("sourceMix: smallest source kept whole, larger sources down-sampled, deterministic") {
+    val rows = (0 until 330).map(i =>
+      (i.toString, s"tok$i body", if (i < 30) "small" else "big"))
+    val d = rows.toDF("doc_id", "text", "source")
+    val kept = TokenPipeline.sourceMix(d, alpha = 0.3)
+    val bySource = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("small") == 30L) // rate (30/30)^(α−1) = 1: kept whole
+    // big: rate (300/30)^(-0.7) ≈ 0.1995 → expect ~60 of 300, hash-binomial
+    assert(bySource("big") > 30L && bySource("big") < 120L, s"big kept ${bySource("big")}")
+    // deterministic: identical kept set on re-evaluation
+    val k1 = kept.select("doc_id").collect().map(_.getString(0)).toSet
+    val k2 = TokenPipeline.sourceMix(d, alpha = 0.3)
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(k1 == k2)
+  }
+
   test("longestDupSpan: runs of consecutive dup windows, span = run + w - 1") {
     // docs share a 6-token prefix (3 consecutive dup windows at w=4 →
     // span 6) and a 4-token suffix (1 isolated dup window); middles differ
