@@ -156,9 +156,16 @@ object XgQueries {
     (sql, addCols)
   }
 
+  /** The committed frozen xG GBT (generated by [[graft.FreezeGbt]]). */
+  private lazy val frozenXg =
+    graft.vaep.FrozenGbt.loadResource("/graft/xg_gbt_frozen.txt", "xg")
+
   // ---- queries --------------------------------------------------------------
 
-  val all: Seq[Q] = Seq(
+  // lazy: the frozen-xG oracle string needs the committed resource, which
+  // graft.FreezeGbt (re)generates USING this object's feature builders —
+  // strict init would deadlock that bootstrap on a fresh checkout
+  lazy val all: Seq[Q] = Seq(
 
     Q("xg_shots_features",
       s"""$OracleCte $LtrCte
@@ -247,6 +254,37 @@ object XgQueries {
           (col("nte") - col("npte")).cast("double") * round(log(lit(1.0) - p), 9)) /
           col("nte").cast("double"))).as("log_loss"),
         lit(0.5).as("roc_auc"))
+    },
+
+    // The frozen xG GBT (same FrozenGbt machinery as
+    // vaep_rate_gbt_frozen): one trained shot model frozen to literal
+    // trees, the predict path value-golden over the exact shot features —
+    // xG scoring modulo training, hash-exact.
+    Q("xg_rate_gbt_frozen", {
+      val m = frozenXg
+      s"""$OracleCte $LtrCte, f AS (
+         |  SELECT game_id, action_id, seq, result_id,
+         |    start_x AS start_x_a0, start_y AS start_y_a0,
+         |    ${polarSql(0).mkString(",\n    ")},
+         |    ${sf("start_x", 1)} AS start_x_a1, ${sf("start_y", 1)} AS start_y_a1,
+         |    (${sf("end_x", 1)} - ${sf("start_x", 1)}) AS dx_a1,
+         |    (${sf("end_y", 1)} - ${sf("start_y", 1)}) AS dy_a1,
+         |    sqrt((${sf("end_x", 1)} - ${sf("start_x", 1)}) * (${sf("end_x", 1)} - ${sf("start_x", 1)}) + (${sf("end_y", 1)} - ${sf("start_y", 1)}) * (${sf("end_y", 1)} - ${sf("start_y", 1)})) AS movement_a1,
+         |    (${sf("end_x", 1)} - start_x) AS dx_a01,
+         |    (${sf("end_y", 1)} - start_y) AS dy_a01,
+         |    sqrt((${sf("end_x", 1)} - start_x) * (${sf("end_x", 1)} - start_x) + (${sf("end_y", 1)} - start_y) * (${sf("end_y", 1)} - start_y)) AS mov_a01,
+         |    ${sf("team_id", 1)} = team_id AS team_1
+         |  FROM ltr WHERE $ShotsWhere
+         |)
+         |SELECT game_id, action_id, seq,
+         |  round(${graft.vaep.FrozenGbt.sql(m)}, 9) AS xg,
+         |  result_id = 1 AS goal
+         |FROM f""".stripMargin
+    }) { (s, dir) =>
+      shotsWithFeatures(s, dir)
+        .withColumn("xg", round(graft.vaep.FrozenGbt.column(frozenXg), 9))
+        .select(col("game_id"), col("action_id"), col("seq"), col("xg"),
+          col("result_success_a0").as("goal"))
     },
 
     // The learned lane: seeded GBT fit on the first half of games, scored
