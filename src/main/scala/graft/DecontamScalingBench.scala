@@ -48,10 +48,8 @@ object DecontamScalingBench {
       System.err.println(f"round $r: decontam small=$ts%.1fs large=$tl%.1fs")
       (ts, tl)
     }
-    val secS = results.map(_._1).min
-    val secL = results.map(_._2).min
-    val (thrS, thrL) = (rows / secS, rows / secL)
-    println(
-      s"""{"metric":"scaling_decontam","sf":"$sfDir","rows":$rows,"k_bench":$kBench,"k_corpus":$kCorpus,"cores_small":$nSmall,"sec_small":$secS,"rows_per_sec_small":$thrS,"cores_large":$nLarge,"sec_large":$secL,"rows_per_sec_large":$thrL,"speedup":${thrL / thrS},"scaling_efficiency":${(thrL / thrS) / 4.0},"cpu_spin_ceiling_speedup":$ceiling,"efficiency_vs_ceiling":${(thrL / thrS) / ceiling},"times_small":[${results.map(_._1).mkString(",")}],"times_large":[${results.map(_._2).mkString(",")}]}""")
+    ScalingBench.reportLine("decontam", sfDir, rows, nSmall, nLarge, ceiling,
+      results.map(_._1), results.map(_._2),
+      extraFields = s""","k_bench":$kBench,"k_corpus":$kCorpus""")
   }
 }

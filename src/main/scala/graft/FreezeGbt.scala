@@ -63,6 +63,7 @@ object FreezeGbt {
     val xg = graft.vaep.XgModel.fit(shots, XgFeatureCols, "result_success_a0",
       maxIter = 5, maxDepth = 3, seed = 42L)
     val textXg = "model xg\n" + FrozenGbt.serialize(FrozenGbt.fromMl(xg, XgFeatureCols))
+    Files.createDirectories(Paths.get(outXg).toAbsolutePath.getParent)
     Files.write(Paths.get(outXg), textXg.getBytes(StandardCharsets.UTF_8))
     println(s"wrote $outXg (${textXg.length} bytes)")
     spark.stop()

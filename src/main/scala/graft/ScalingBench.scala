@@ -15,6 +15,10 @@ import org.apache.spark.sql.SparkSession
   * when quadrupling threads.
   *
   * Usage: runMain graft.ScalingBench [sfDir] [nSmall] [rounds] [k]
+  *        [kCorpus] [kBenchDecontam] [kCorpusDecontam]
+  * (kCorpus defaults to k·15; the decontam pair defaults to 45/20 —
+  * overhead-dominated next to the dedicated DecontamScalingBench probe,
+  * whose 150/60 sizing is the recorded §2c number.)
   */
 object ScalingBench {
 
@@ -103,6 +107,11 @@ object ScalingBench {
     * per-doc aggregate without the degenerate all-windows-hit case. */
   def decontamJob(spark: SparkSession, sfDir: String, kBench: Int, kCorpus: Int)
       : (Long, Double) = {
+    // sequence(1, 0) DESCENDS in Spark — a non-positive k would silently
+    // include an unshifted r=0 bench replica (the degenerate
+    // all-windows-hit case) instead of disabling the lane
+    require(kBench >= 1 && kCorpus >= 1,
+      s"decontamJob needs kBench/kCorpus >= 1, got $kBench/$kCorpus")
     import org.apache.spark.sql.functions._
     import graft.core.Tables
     import graft.text.TokenPipeline
@@ -158,6 +167,21 @@ object ScalingBench {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     (out._1, out._2, corpus._1, corpus._2, packed._2, pack._1, pack._2, deco._1, deco._2)
+  }
+
+  /** The one shared two-size report line (min-of-rounds throughput at each
+    * size + efficiency vs ideal and vs the same-session spin ceiling) —
+    * every scaling probe, including [[DecontamScalingBench]], must emit
+    * through here so the published methodology can never diverge. */
+  def reportLine(name: String, sfDir: String, n: Long, nSmall: Int, nLarge: Int,
+      ceiling: Double, small: Seq[Double], large: Seq[Double],
+      extraFields: String = ""): Unit = {
+    val secS = small.min
+    val secL = large.min
+    val thrS = n / secS
+    val thrL = n / secL
+    println(
+      s"""{"metric":"scaling_$name","sf":"$sfDir","rows":$n$extraFields,"cores_small":$nSmall,"sec_small":$secS,"rows_per_sec_small":$thrS,"cores_large":$nLarge,"sec_large":$secL,"rows_per_sec_large":$thrL,"speedup":${thrL / thrS},"scaling_efficiency":${(thrL / thrS) / 4.0},"cpu_spin_ceiling_speedup":$ceiling,"efficiency_vs_ceiling":${(thrL / thrS) / ceiling},"times_small":[${small.mkString(",")}],"times_large":[${large.mkString(",")}]}""")
   }
 
   /** Raw CPU scaling ceiling: spin-loop throughput ratio at 4N vs N threads. */
@@ -217,14 +241,8 @@ object ScalingBench {
       (ts, tl, tcs, tcl, tps, tpl, tpk, tpkl, tds, tdl)
     }
 
-    def report(name: String, n: Long, small: Seq[Double], large: Seq[Double]): Unit = {
-      val secS = small.min
-      val secL = large.min
-      val thrS = n / secS
-      val thrL = n / secL
-      println(
-        s"""{"metric":"scaling_$name","sf":"$sfDir","rows":$n,"cores_small":$nSmall,"sec_small":$secS,"rows_per_sec_small":$thrS,"cores_large":$nLarge,"sec_large":$secL,"rows_per_sec_large":$thrL,"speedup":${thrL / thrS},"scaling_efficiency":${(thrL / thrS) / 4.0},"cpu_spin_ceiling_speedup":$ceiling,"efficiency_vs_ceiling":${(thrL / thrS) / ceiling},"times_small":[${small.mkString(",")}],"times_large":[${large.mkString(",")}]}""")
-    }
+    def report(name: String, n: Long, small: Seq[Double], large: Seq[Double]): Unit =
+      reportLine(name, sfDir, n, nSmall, nLarge, ceiling, small, large)
     report("valuation", rows, results.map(_._1), results.map(_._2))
     report("valuation_packed", rows, results.map(_._5), results.map(_._6))
     report("corpus", corpusRows, results.map(_._3), results.map(_._4))

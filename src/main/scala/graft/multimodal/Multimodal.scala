@@ -216,23 +216,26 @@ object Multimodal {
     Array.tabulate(hex.length / 2)(i =>
       Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte)
 
-  /** md5-derived image: dims 1..8 from the first two digest bytes, RGB
-    * raster = digest bytes cycled from index 2; even doc_id → PPM, odd →
-    * BMP (both decoder lanes exercised). The DuckDB oracle recomputes the
-    * same rule symbolically. */
-  def payloadFor(docId: Long, digest: Array[Byte]): Array[Byte] = {
+  /** The shared md5→image generation rule: dims 1..8 from the first two
+    * digest bytes, RGB raster = digest bytes cycled from index 2. The
+    * DuckDB oracle (bytesCte/pxSql) recomputes exactly this rule
+    * symbolically — both payload variants MUST derive through here. */
+  private def dimsRaster(digest: Array[Byte]): (Int, Int, Array[Byte]) = {
     val w = 1 + (digest(0) & 0xff) % 8
     val h = 1 + (digest(1) & 0xff) % 8
-    val rgb = Array.tabulate(3 * w * h)(j => digest((j + 2) % digest.length))
+    (w, h, Array.tabulate(3 * w * h)(j => digest((j + 2) % digest.length)))
+  }
+
+  /** Even doc_id → PPM, odd → BMP (both pure-JVM decoder lanes). */
+  def payloadFor(docId: Long, digest: Array[Byte]): Array[Byte] = {
+    val (w, h, rgb) = dimsRaster(digest)
     if (docId % 2 == 0) encodePpm(w, h, rgb) else encodeBmp(w, h, rgb)
   }
 
   /** Four-lane variant of [[payloadFor]]: doc_id mod 4 → PPM / BMP / PNG /
-    * JPEG, same md5-derived dims/raster rule. */
+    * JPEG, same dims/raster rule. */
   def payloadFor4(docId: Long, digest: Array[Byte]): Array[Byte] = {
-    val w = 1 + (digest(0) & 0xff) % 8
-    val h = 1 + (digest(1) & 0xff) % 8
-    val rgb = Array.tabulate(3 * w * h)(j => digest((j + 2) % digest.length))
+    val (w, h, rgb) = dimsRaster(digest)
     (docId % 4) match {
       case 0 => encodePpm(w, h, rgb)
       case 1 => encodeBmp(w, h, rgb)
@@ -241,27 +244,24 @@ object Multimodal {
     }
   }
 
-  def withPayload4(documents: DataFrame): DataFrame = {
+  private def withPayloadBy(documents: DataFrame,
+      payload: (Long, Array[Byte]) => Array[Byte]): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     documents
       .select(col("doc_id").cast("long").as("doc_id"), md5(col("text")).as("hex"))
       .as[(Long, String)]
-      .map { case (id, hex) => MediaRow(id, payloadFor4(id, hexBytes(hex))) }
+      .map { case (id, hex) => MediaRow(id, payload(id, hexBytes(hex))) }
       .toDF()
   }
 
   /** Attach a real encoded image payload derived from the text column
     * (test stand-in for a real media blob column in the source table). */
-  def withPayload(documents: DataFrame): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    documents
-      .select(col("doc_id").cast("long").as("doc_id"), md5(col("text")).as("hex"))
-      .as[(Long, String)]
-      .map { case (id, hex) => MediaRow(id, payloadFor(id, hexBytes(hex))) }
-      .toDF()
-  }
+  def withPayload(documents: DataFrame): DataFrame =
+    withPayloadBy(documents, payloadFor)
+
+  def withPayload4(documents: DataFrame): DataFrame =
+    withPayloadBy(documents, payloadFor4)
 
   /** Decode kernel over one batch: parse each payload with the real codec,
     * derive metadata + a FeatureDim vector from the DECODED raster. */

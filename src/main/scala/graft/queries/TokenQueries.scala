@@ -206,12 +206,7 @@ object TokenQueries {
       val survivors = base.filter(col("n_tok") >= 10 &&
         size(array_distinct(col("tokens"))).cast("double") / col("n_tok") >= 0.3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val prev = lastCcnetSurvivors.getAndSet(survivors)
-      // skip frames of already-stopped sessions (their cache died with the
-      // context; unpersist would throw)
-      if (prev != null && !prev.sparkSession.sparkContext.isStopped) {
-        try prev.unpersist() catch { case _: Exception => () }
-      }
+      graft.core.OneSlotCache.swap(lastCcnetSurvivors, survivors)
       val scored = TokenPipeline.lmScore(survivors, survivors)
       val wB = Window.partitionBy("lang_pred")
         .orderBy(col("avg_logp").desc, col("doc_id"))

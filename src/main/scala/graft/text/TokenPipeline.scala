@@ -328,13 +328,7 @@ object TokenPipeline {
       .repartitionByRange(nParts, col("source"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prevMeta = lastPackMeta.getAndSet(meta)
-    // the previous frame may belong to an already-stopped session (e.g.
-    // fresh-session-per-size benchmarks): unpersist on a stopped context
-    // throws — the cache died with the context, nothing to release
-    if (prevMeta != null && !prevMeta.sparkSession.sparkContext.isStopped) {
-      try prevMeta.unpersist() catch { case _: Exception => () }
-    }
+    graft.core.OneSlotCache.swap(lastPackMeta, meta)
     // (1) local prefix within (range partition, source) — parallel across
     // the range partitions regardless of how few sources exist
     val localPrev = Window.partitionBy("pid", "source").orderBy("doc_id")
