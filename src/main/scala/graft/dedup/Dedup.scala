@@ -79,7 +79,10 @@ object Dedup {
                    dfCap: Int = DefaultDfCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = documents.select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // per-doc shingle count = the size of the (distinct) shingle array —
+    // map-only, replacing the old explode+groupBy(doc_id) second shuffle
+    // of the full postings stream with a projection on the document scan
+    val sizes = documents.select(col("doc_id"), size(shingles(col("text"), n)).cast("long").as("n_sh"))
     val wSh = Window.partitionBy("shingle")
     val lists = sh
       .withColumn("df", count(lit(1)).over(wSh))
@@ -350,8 +353,19 @@ object Dedup {
     val sym = persist(edges.select(col(a).as("src"), col(b).as("dst"))
       .union(edges.select(col(b).as("src"), col(a).as("dst")))
       .distinct())
-    var labels = persist(sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")))
+    // fused round 0: the init label of v is min(v, min neighbor) — the
+    // result of the first propagation round — computed directly from the
+    // symmetric edge list with ONE aggregate (the old id-distinct init paid
+    // the same shuffle and then needed a full join+agg round to get here)
+    var labels = persist(sym.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("comp")))
+    // labels only ever DECREASE (min-propagation, and the pointer jump
+    // substitutes comp(comp(v)) ≤ comp(v)), so Σcomp is a strictly
+    // decreasing integer potential and "Σ unchanged" ⟺ "no label moved" —
+    // one tiny aggregate per round instead of the old join+isEmpty probe
+    def potential(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0))
+    var prevPot = potential(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -364,10 +378,9 @@ object Dedup {
       val parent = afterMin.select(col("id").as("pid"), col("comp").as("pcomp"))
       val next = persist(afterMin.join(parent, afterMin("comp") === parent("pid"))
         .select(col("id"), col("pcomp").as("comp")))
-      // converged when no label moved this round (labels only decrease,
-      // so an anti-equality count of 0 is a true fixpoint)
-      converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev")).isEmpty
+      val pot = potential(next)
+      converged = pot == prevPot
+      prevPot = pot
       labels = next
       i += 1
     }

@@ -142,6 +142,14 @@ case class TokenWindowHashesExpr(child: Expression, w: Int) extends UnaryExpress
 case class FoldDotExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // ALWAYS nullable: a length mismatch yields null even for non-null
+  // inputs. Inheriting child nullability also broke whole-stage codegen —
+  // with two non-nullable children the planner folds ev.isNull to a
+  // non-assignable literal, the `${ev.isNull} = true` branch below then
+  // fails janino ("not an rvalue") and every stage containing the kernel
+  // silently fell back to interpreted evaluation (the round-5 bench's
+  // CodeGenerator ERRORs during dedup_embedding_cosine).
+  override def nullable: Boolean = true
 
   private def lane(e: Expression): Option[DataType] = e.dataType match {
     case ArrayType(et @ (FloatType | DoubleType), _) => Some(et)

@@ -633,10 +633,12 @@ object TokenQueries {
          |  SELECT unnest(tokens) AS token FROM t
          |)
          |SELECT token, count(*) AS tf FROM ex GROUP BY token""".stripMargin) { (s, dir) =>
-      val agg = TokenPipeline.fromDocuments(documentsStream(s, dir))
-        .select(explode(col("tokens")).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("tf"))
-      StreamRun.availableNow(agg, complete = true)
+      StreamRun.withAdaptiveStateParallelism(s, s"$dir/documents.parquet") {
+        val agg = TokenPipeline.fromDocuments(documentsStream(s, dir))
+          .select(explode(col("tokens")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("tf"))
+        StreamRun.availableNow(agg, complete = true)
+      }
     },
 
     // Streaming ingest dedup gate: exact dedup as a stateful streaming
@@ -647,8 +649,10 @@ object TokenQueries {
     // which duplicate arrives first.
     Q("stream_dedup_exact",
       """SELECT DISTINCT md5(text) AS content_hash FROM documents""") { (s, dir) =>
-      StreamRun.availableNow(documentsStream(s, dir)
-        .select(md5(col("text")).as("content_hash")).dropDuplicates())
+      StreamRun.withAdaptiveStateParallelism(s, s"$dir/documents.parquet") {
+        StreamRun.availableNow(documentsStream(s, dir)
+          .select(md5(col("text")).as("content_hash")).dropDuplicates())
+      }
     },
 
     // Watermark-SCOPED streaming dedup — the bounded-state form of the
@@ -662,13 +666,15 @@ object TokenQueries {
     // state can expire mid-run regardless of batch boundaries.
     Q("stream_dedup_watermarked",
       """SELECT DISTINCT md5(text) AS content_hash FROM documents""") { (s, dir) =>
-      StreamRun.availableNow(documentsStream(s, dir)
-        .withColumn("ts",
-          timestamp_seconds(lit(1700000000L) + col("doc_id").cast("long") % 8))
-        .withWatermark("ts", "10 seconds")
-        .select(col("ts"), md5(col("text")).as("content_hash"))
-        .dropDuplicatesWithinWatermark("content_hash")
-        .select("content_hash"))
+      StreamRun.withAdaptiveStateParallelism(s, s"$dir/documents.parquet") {
+        StreamRun.availableNow(documentsStream(s, dir)
+          .withColumn("ts",
+            timestamp_seconds(lit(1700000000L) + col("doc_id").cast("long") % 8))
+          .withWatermark("ts", "10 seconds")
+          .select(col("ts"), md5(col("text")).as("content_hash"))
+          .dropDuplicatesWithinWatermark("content_hash")
+          .select("content_hash"))
+      }
     },
 
     // Exact dedup on transformWithState over RocksDB
@@ -682,11 +688,13 @@ object TokenQueries {
       """SELECT DISTINCT md5(text) AS content_hash FROM documents""") { (s, dir) =>
       import graft.streaming.{DedupTws, PackerTws}
       import s.implicits._
-      PackerTws.withRocksDB(s) {
-        val hashes = documentsStream(s, dir)
-          .select(md5(col("text")).as("content_hash")).as[String]
-        StreamRun.availableNow(
-          DedupTws.distinctHashes(hashes, ttlMs = 0L).toDF("content_hash"))
+      StreamRun.withAdaptiveStateParallelism(s, s"$dir/documents.parquet") {
+        PackerTws.withRocksDB(s) {
+          val hashes = documentsStream(s, dir)
+            .select(md5(col("text")).as("content_hash")).as[String]
+          StreamRun.availableNow(
+            DedupTws.distinctHashes(hashes, ttlMs = 0L).toDF("content_hash"))
+        }
       }
     },
 
@@ -701,10 +709,12 @@ object TokenQueries {
          |${packSelect(" WHERE len(ct) = 128")}""".stripMargin) { (s, dir) =>
       import graft.streaming.StreamingPacker
       import s.implicits._
-      val packed = StreamingPacker.pack(
-        TokenPipeline.fromDocuments(documentsStream(s, dir)).as[StreamingPacker.TokenDoc],
-        chunkSize = 128)
-      chunkFingerprint(StreamRun.availableNow(packed.toDF()))
+      StreamRun.withAdaptiveStateParallelism(s, s"$dir/documents.parquet") {
+        val packed = StreamingPacker.pack(
+          TokenPipeline.fromDocuments(documentsStream(s, dir)).as[StreamingPacker.TokenDoc],
+          chunkSize = 128)
+        chunkFingerprint(StreamRun.availableNow(packed.toDF()))
+      }
     },
 
     // The same stateful packer on Spark 4's transformWithState API
@@ -717,11 +727,13 @@ object TokenQueries {
          |${packSelect(" WHERE len(ct) = 128")}""".stripMargin) { (s, dir) =>
       import graft.streaming.{PackerTws, StreamingPacker}
       import s.implicits._
-      PackerTws.withRocksDB(s) {
-        val packed = PackerTws.pack(
-          TokenPipeline.fromDocuments(documentsStream(s, dir)).as[StreamingPacker.TokenDoc],
-          chunkSize = 128)
-        chunkFingerprint(StreamRun.availableNow(packed.toDF()))
+      StreamRun.withAdaptiveStateParallelism(s, s"$dir/documents.parquet") {
+        PackerTws.withRocksDB(s) {
+          val packed = PackerTws.pack(
+            TokenPipeline.fromDocuments(documentsStream(s, dir)).as[StreamingPacker.TokenDoc],
+            chunkSize = 128)
+          chunkFingerprint(StreamRun.availableNow(packed.toDF()))
+        }
       }
     })
 }

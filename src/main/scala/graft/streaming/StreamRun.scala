@@ -29,6 +29,29 @@ object StreamRun {
   def tempDir(prefix: String): String =
     Files.createTempDirectory(root, prefix).toString
 
+  /** Scale-adaptive shuffle/state parallelism for a run-to-completion
+    * streaming query over a file source rooted at `inputDir`: every
+    * stateful operator materializes one state-store instance (and the
+    * foreachBatch sink one file) PER shuffle partition PER micro-batch, so
+    * inheriting the session's batch parallelism makes small streams pay
+    * ~32× the state/checkpoint/sink I/O their volume warrants. Target one
+    * partition per 64 MB of resting input, clamped to [1, session shuffle
+    * partitions] — a 100 TB stream keeps full parallelism, a small one
+    * collapses to few stores. The session conf is restored afterwards, so
+    * surrounding batch queries are untouched. */
+  def withAdaptiveStateParallelism[A](spark: org.apache.spark.sql.SparkSession,
+      inputDir: String)(body: => A): A = {
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(sizeOf).sum).getOrElse(0L)
+      else f.length()
+    val bytes = sizeOf(new java.io.File(inputDir))
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val target = math.max(1L, bytes / (64L << 20)).min(prev.toLong.max(1L)).toInt
+    spark.conf.set(key, target.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Runs `df` (a streaming DataFrame) to completion and returns the
     * materialized result. `complete = true` uses complete output mode with
     * an overwrite-per-micro-batch snapshot sink (streaming aggregations);

@@ -130,10 +130,17 @@ object TokenPipeline {
   def oovStats(tokens: DataFrame, k: Int): DataFrame = {
     val ex = tokens.select(col("doc_id"), explode(col("tokens")).as("t"))
     val tf = ex.groupBy("t").agg(count(lit(1)).as("tf"))
-    val rk = Window.orderBy(col("tf").desc, col("t"))
-    val rare = tf.withColumn("rk", row_number().over(rk))
-      .filter(col("rk") > k).select("t")
-    val oov = ex.join(rare, "t").groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
+    // top-k vocab via orderBy+limit (a distributed TakeOrdered with the
+    // same (tf DESC, t) total order) instead of a row_number over a GLOBAL
+    // window, which serialized the whole vocab into one partition. A token
+    // is OOV iff it is NOT in the top-k set, so the corpus-side membership
+    // test is an anti-join against a frame bounded by the PARAMETER k —
+    // broadcast it explicitly (the old rare-set join had no usable size
+    // estimate and shuffled the exploded corpus into a sort-merge join;
+    // guide §3.1) and the corpus stream stays map-only at any vocab size.
+    val topk = tf.orderBy(col("tf").desc, col("t")).limit(k).select("t")
+    val oov = ex.join(broadcast(topk), Seq("t"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
     tokens.filter(col("n_tok") > 0).select("doc_id", "n_tok")
       .join(oov, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tok"),
@@ -256,12 +263,32 @@ object TokenPipeline {
     // coalesce: unseen bigrams/prefixes (held-out scoring) smooth to 1/V+
     val logp = round(log((coalesce(col("c_ab"), lit(0L)) + 1).cast("double") /
       (coalesce(col("c_a"), lit(0L)) + col("__vs")).cast("double")), 9)
-    bigrams(tokens)
-      .join(bigramCounts, Seq("a", "b"), "left")
-      .join(prefixCounts, Seq("a"), "left")
-      .crossJoin(broadcast(vocab))
+    // SELF-scored (model eq tokens — the lm_perplexity / ccnet shape):
+    // every scored bigram is by construction present in the model tables
+    // (same frame, same n_tok≥2 filter, same pair extraction), so the two
+    // left joins collapse to ONE inner join against a pre-joined
+    // per-bigram score table. The cab⋈ca pre-join is MODEL-sized (bigram
+    // vocab rows), while the old second join shuffled the full exploded
+    // corpus stream again on `a` — one corpus-wide exchange+sort removed
+    // at any scale. Held-out scoring keeps the general two-join path
+    // (unseen bigrams/prefixes must smooth through the left-join nulls).
+    val scoredStream =
+      if (tokens eq model) {
+        val lpTable = bigramCounts.join(prefixCounts, "a")
+          .crossJoin(broadcast(vocab))
+          .select(col("a"), col("b"), logp.as("__lp"))
+        bigrams(tokens).join(lpTable, Seq("a", "b"))
+          .select(col("doc_id"), col("__lp").as("lp"))
+      } else {
+        bigrams(tokens)
+          .join(bigramCounts, Seq("a", "b"), "left")
+          .join(prefixCounts, Seq("a"), "left")
+          .crossJoin(broadcast(vocab))
+          .select(col("doc_id"), logp.as("lp"))
+      }
+    scoredStream
       .select(col("doc_id"),
-        logp.cast("decimal(38,12)").as("lp"))
+        col("lp").cast("decimal(38,12)").as("lp"))
       .groupBy("doc_id")
       // each lp carries exactly 9 decimals, so the decimal sum has ≤9
       // decimals of significance and round(·, 9) is numerically a no-op —

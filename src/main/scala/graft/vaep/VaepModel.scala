@@ -34,16 +34,50 @@ object VaepModel {
 
   def fit(train: DataFrame, featureCols: Array[String], maxIter: Int = 20,
           maxDepth: Int = 3, seed: Long = 42L): Fitted = {
+    // cache ONLY what the two fits read (labels + assembled vector): the
+    // upstream frame is wide (the full feature projection plus every carried
+    // action column) and caching it whole would both burn memory and make
+    // each boosting iteration's dataset->RDD conversion scan dead columns
     val assembled = assembler(featureCols).transform(numericize(train, featureCols))
       .withColumn("label_scores", col("scores").cast("double"))
       .withColumn("label_concedes", col("concedes").cast("double"))
+      .select("label_scores", "label_concedes", "features_vec")
       .cache()
     def gbt(labelCol: String) = new GBTClassifier()
       .setLabelCol(labelCol).setFeaturesCol("features_vec")
       .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed)
-    val m = Fitted(featureCols,
-      gbt("label_scores").fit(assembled),
-      gbt("label_concedes").fit(assembled))
+    // materialize the cache once before both consumers race for it
+    val nRows = assembled.count()
+    // boosting runs dozens of small jobs (findSplits + one histogram
+    // aggregation per tree level per iteration); with partitions far below
+    // ~32k rows each, per-task stats-array allocation and scheduling dwarf
+    // the real work. Derive the training parallelism from the data size
+    // (scale-adaptive: a 100 TB input keeps the session's parallelism, a
+    // small one collapses to few partitions) instead of inheriting the
+    // session's shuffle-partition count.
+    val train0 = {
+      val target = math.max(1L, nRows / 32768L).min(
+        assembled.rdd.getNumPartitions.toLong).toInt
+      if (target < assembled.rdd.getNumPartitions) assembled.coalesce(target)
+      else assembled
+    }
+    // the scores and concedes fits are INDEPENDENT job sequences over the
+    // same cached input; boosting runs many small sequential jobs per model,
+    // each leaving most cores idle — submitting the two fits from two
+    // threads lets the scheduler back-fill one model's stragglers with the
+    // other model's tasks. Each fit's lineage is unchanged, so both models
+    // are identical to the sequential run.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val m =
+      try {
+        val fScores = scala.concurrent.Future(gbt("label_scores").fit(train0))
+        val fConcedes = scala.concurrent.Future(gbt("label_concedes").fit(train0))
+        Fitted(featureCols,
+          scala.concurrent.Await.result(fScores, scala.concurrent.duration.Duration.Inf),
+          scala.concurrent.Await.result(fConcedes, scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
     assembled.unpersist()
     m
   }

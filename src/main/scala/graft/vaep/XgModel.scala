@@ -22,12 +22,27 @@ object XgModel {
   /** Fit one binary GBT on `labelCol` (boolean/numeric) over `featureCols`. */
   def fit(train: DataFrame, featureCols: Array[String], labelCol: String,
           maxIter: Int = 10, maxDepth: Int = 3, seed: Long = 42L): GBTClassificationModel = {
+    // project to (label, vector) and right-size the training parallelism
+    // before boosting: each boosting iteration runs several tiny
+    // histogram-aggregation jobs, so partitions far below ~32k rows each
+    // cost more in per-task overhead than they buy (same scale-adaptive
+    // rule as VaepModel.fit — a large corpus keeps the session parallelism)
     val assembled = assemble(train, featureCols)
       .withColumn("label_xg", col(labelCol).cast("double"))
-    new GBTClassifier()
+      .select("label_xg", "features_vec")
+      .cache()
+    val nRows = assembled.count()
+    val target = math.max(1L, nRows / 32768L)
+      .min(assembled.rdd.getNumPartitions.toLong).toInt
+    val train0 =
+      if (target < assembled.rdd.getNumPartitions) assembled.coalesce(target)
+      else assembled
+    val m = new GBTClassifier()
       .setLabelCol("label_xg").setFeaturesCol("features_vec")
       .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed)
-      .fit(assembled)
+      .fit(train0)
+    assembled.unpersist()
+    m
   }
 
   /** P̂(goal) per shot as column `outCol`. */
