@@ -132,7 +132,15 @@ object ScalingBench {
       .select(explode(sequence(lit(0L), lit(kCorpus - 1L))).as("r"), col("*"))
       .select(format_string("c%03d%s", col("r"), col("doc_id")).as("doc_id"),
         col("tokens"), col("n_tok"), col("source"))
-    TokenPipeline.contaminatedDocs(corpus, bench, w = 8)
+    // probe the past-broadcast regime with the shuffled-hash join lever on
+    // (§3.1/§3.2): the bench set at the probe's default 150× replication
+    // (~3.5e7 hashes) is far past any broadcast budget, and the round-5
+    // measured gap was exactly the two corpus-sized sorts the SMJ fallback
+    // pays — SHJ shuffles the same bytes but sorts neither side. (A Bloom
+    // prefilter was tried first and REJECTED for this regime: a
+    // 10-bit/item filter over 3.5e7 hashes is a ~45 MB literal serialized
+    // into every task binary — 32 concurrent tasks OOM'd a 4 GB heap.)
+    TokenPipeline.contaminatedDocs(corpus, bench, w = 8, shuffleHashJoin = true)
       .write.mode("overwrite").format("noop").save()
     val rows = corpus.count()
     (rows, (System.nanoTime() - t0) / 1e9)

@@ -68,6 +68,12 @@ object AsofJoin {
     * native ASOF JOIN) but skew-immune — no single key ever serializes
     * into one task.
     *
+    * EAGER: constructing the returned DataFrame runs two Spark jobs (the
+    * range/key probe and the carry collect), so plan composition triggers
+    * execution and upstream failures surface at BUILD time — unlike every
+    * other operator here. Callers needing lazy composition should use
+    * [[backward]].
+    *
     * Each key's rows are split into ≤ `numBuckets` ts-range buckets
     * (global fixed-width slices — monotone in ts, map-only, no per-key
     * statistics). The carry-forward window then runs per (key, bucket):
@@ -123,9 +129,12 @@ object AsofJoin {
       return backward(left, right, key, ts, payload)
     }
     // carry-frame guard: keys × buckets beyond the broadcast budget means
-    // the key space is wide, i.e. no hot key — backward's one window wins
-    // (±~2% HLL error; maxCarryRows is a budget, not a cliff)
-    if (rngRow.getLong(2) * numBuckets > maxCarryRows) {
+    // the key space is wide, i.e. no hot key — backward's one window wins.
+    // approx_count_distinct carries ~2% HLL error, so compare against a
+    // 0.95 safety margin of the budget; the post-collect hard check below
+    // still catches an under-estimate (maxCarryRows is a budget, not a
+    // cliff, but the collected frame must never exceed it unbounded).
+    if (rngRow.getLong(2) * numBuckets > (maxCarryRows * 0.95).toLong) {
       u0.unpersist()
       return backward(left, right, key, ts, payload)
     }
@@ -160,6 +169,12 @@ object AsofJoin {
     val carryRows = carry.collect()
     val carrySchema = carry.schema
     u0.unpersist()
+    // hard post-collect check: if the HLL estimate slipped under the
+    // margin but the true carry exceeds the budget, fall back rather than
+    // broadcast an over-budget frame
+    if (carryRows.length > maxCarryRows) {
+      return backward(left, right, key, ts, payload)
+    }
     val carryLocal = left.sparkSession.createDataFrame(
       java.util.Arrays.asList(carryRows: _*), carrySchema)
     local.join(broadcast(carryLocal), Seq(key, "__bucket"))

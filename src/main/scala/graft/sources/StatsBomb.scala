@@ -257,7 +257,16 @@ object StatsBomb {
     * the normalizer chain shares the game_id partitioning. */
   def convertToActions(rawEvents: DataFrame, homeTeamId: Column): DataFrame = {
     val withSplit = insertInterceptionPasses(rawEvents, from_json(col("extra"), extraSchema))
-    val x = from_json(col("extra"), extraSchema)
+    // parse the extra bag ONCE into a materialized struct column: the
+    // dispatch references the parsed bag from inside dozens of `when`
+    // branches, where whole-stage codegen's subexpression elimination does
+    // NOT hoist conditional subexpressions — the plan carried ~100 textual
+    // from_json instances and re-parsed the JSON per consulted branch.
+    // Materializing the alias keeps one JsonToStructs per row
+    // (CollapseProject refuses to inline a non-cheap alias referenced more
+    // than once), and downstream uses are plain struct-field reads.
+    val withParsed = withSplit.withColumn("__extra_parsed", from_json(col("extra"), extraSchema))
+    val x = col("__extra_parsed")
 
     // effective fidelity (see object scaladoc): fractional anywhere in game
     val fracOf = (c: Column) => !isnull(c) && c % 1 =!= 0
@@ -272,7 +281,7 @@ object StatsBomb {
       x.getField("carry").getField("end_location"),
       col("location"))
 
-    val parsed = withSplit
+    val parsed = withParsed
       .withColumn("cell_side", Converters.fidelityCellSide(anyFrac))
       .withColumn("arb", parseEvent(col("type_name"), x))
       .withColumn("end_loc", endLoc)

@@ -97,15 +97,46 @@ object XThreat {
   def fit(actions: DataFrame, l: Int = DefaultL, w: Int = DefaultW,
           eps: Double = 1e-5, maxIterations: Int = Int.MaxValue): Model = {
     val n = l * w
-    val stats = cellStats(actions, l, w).collect()
+    // ONE fused aggregation pass instead of the two separate collect jobs
+    // ([[cellStats]] + [[transitionEntries]]): each job re-derived the full
+    // upstream action lineage (scan + per-game window), so fusing halves
+    // the passes for every fit caller. Grouping by (start_cell, end_cell)
+    // keeps ≤ n² result rows; the per-start-cell stats are summed over end
+    // cells on the driver. The cellStats sums keep that operator's NaN
+    // filter via the `when` guards (F1), while the transition counts stay
+    // UNfiltered exactly like transitionEntries — identical counts, hence a
+    // bit-identical model (xt_* value-golden oracles unchanged).
+    val isShot = col("type_id") === Spadl.TypeShot
+    val isMove = isMoveAction
+    val f1 = !isnan(col("start_x")) && !isnan(col("start_y"))
+    val grouped = actions
+      .withColumn("start_cell", flatCellIndex(col("start_x"), col("start_y"), l, w))
+      .withColumn("end_cell", flatCellIndex(col("end_x"), col("end_y"), l, w))
+      .groupBy("start_cell", "end_cell")
+      .agg(
+        sum(when(f1 && isShot, 1L).otherwise(0L)).as("shots"),
+        sum(when(f1 && isShot && col("result_id") === Spadl.ResultSuccess, 1L)
+          .otherwise(0L)).as("goals"),
+        sum(when(f1 && isMove, 1L).otherwise(0L)).as("moves"),
+        sum(when(isMove, 1L).otherwise(0L)).as("n_start_moves"),
+        sum(when(isMove && col("result_id") === Spadl.ResultSuccess, 1L)
+          .otherwise(0L)).as("n_succ"))
+      .collect()
     val shots = new Array[Double](n)
     val goals = new Array[Double](n)
     val moves = new Array[Double](n)
-    stats.foreach { r =>
-      val c = r.getLong(0).toInt
-      shots(c) = r.getLong(1).toDouble
-      goals(c) = r.getLong(2).toDouble
-      moves(c) = r.getLong(3).toDouble
+    val nStart = new Array[Double](n)
+    val nSucc = Array.fill(n)(new Array[Double](n))
+    grouped.foreach { r =>
+      if (!r.isNullAt(0)) {
+        val s = r.getLong(0).toInt
+        shots(s) += r.getLong(2).toDouble
+        goals(s) += r.getLong(3).toDouble
+        moves(s) += r.getLong(4).toDouble
+        nStart(s) += r.getLong(5).toDouble
+        if (!r.isNullAt(1) && r.getLong(6) > 0)
+          nSucc(s)(r.getLong(1).toInt) += r.getLong(6).toDouble
+      }
     }
     def safeDiv(a: Double, b: Double) = if (b != 0.0) a / b else 0.0
     val pScoring = Array.tabulate(n)(i => safeDiv(goals(i), shots(i)))
@@ -113,8 +144,14 @@ object XThreat {
     val pMove = Array.tabulate(n)(i => safeDiv(moves(i), shots(i) + moves(i)))
 
     val trans = Array.fill(n)(new Array[Double](n))
-    transitionEntries(actions, l, w).collect().foreach { r =>
-      trans(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2)
+    var ti = 0
+    while (ti < n) {
+      var tj = 0
+      while (tj < n) {
+        if (nSucc(ti)(tj) > 0) trans(ti)(tj) = nSucc(ti)(tj) / nStart(ti)
+        tj += 1
+      }
+      ti += 1
     }
 
     // value iteration: xT ← pScoring·pShot + pMove·(T xT), until the signed

@@ -122,45 +122,51 @@ class StreamingSpec extends SparkSpec {
   test("TTL'd transformWithState dedup: drops within TTL, re-emits after expiry") {
     implicit val sqlCtx = spark.sqlContext
     graft.streaming.PackerTws.withRocksDB(spark) {
-      val input = MemoryStream[String]
-      val out = graft.streaming.DedupTws
-        .distinctHashes(input.toDS(), ttlMs = 6000L).toDF("content_hash")
       // ProcessingTime-mode TWS schedules batches continuously (timer/TTL
       // advancement), so processAllAvailable never settles — poll the sink
       // with a deadline instead
-      val query = out.writeStream
-        .format("memory").queryName("dedup_tws").outputMode("append")
-        .trigger(Trigger.ProcessingTime(100))
-        .option("checkpointLocation", Files.createTempDirectory("ckpt-tws").toString)
-        .start()
-      def awaitCount(n: Long, what: String): Unit = {
+      def awaitCount(table: String, n: Long, what: String): Unit = {
         val deadline = System.nanoTime() + 30e9.toLong
-        while (spark.table("dedup_tws").count() < n) {
+        while (spark.table(table).count() < n) {
           assert(System.nanoTime() < deadline, s"timed out waiting for $what")
           Thread.sleep(100)
         }
       }
+      def start(input: MemoryStream[String], ttlMs: Long, name: String) =
+        graft.streaming.DedupTws.distinctHashes(input.toDS(), ttlMs).toDF("content_hash")
+          .writeStream
+          .format("memory").queryName(name).outputMode("append")
+          .trigger(Trigger.ProcessingTime(100))
+          .option("checkpointLocation", Files.createTempDirectory(s"ckpt-$name").toString)
+          .start()
+      // (1) within-TTL suppression under a TTL far beyond any host-load
+      // stretch (30 s) — asserted UNCONDITIONALLY (the old 6 s TTL forced a
+      // skip-under-load guard that could silently bypass the core check)
+      val in1 = MemoryStream[String]
+      val q1 = start(in1, ttlMs = 30000L, "dedup_tws_sup")
       try {
-        val t0 = System.nanoTime()
-        def withinTtl: Boolean = (System.nanoTime() - t0) < 5e9 // 1 s of slack
-        input.addData(Seq("a", "b", "a"))
-        awaitCount(2, "first occurrences")
+        in1.addData(Seq("a", "b", "a"))
+        awaitCount("dedup_tws_sup", 2, "first occurrences")
         Thread.sleep(500) // a few more batches: the in-batch dup stays absorbed
-        assert(spark.table("dedup_tws").count() == 2)
-        input.addData(Seq("a", "c"))
-        awaitCount(3, "c")
+        assert(spark.table("dedup_tws_sup").count() == 2)
+        in1.addData(Seq("a", "c"))
+        awaitCount("dedup_tws_sup", 3, "c")
         Thread.sleep(500)
-        // only a loaded host can stretch the steps above past the 6 s TTL —
-        // the within-TTL suppression check is valid only while inside it
-        if (withinTtl) {
-          assert(spark.table("dedup_tws").count() == 3) // a still in state
-        }
-        Thread.sleep(8000) // let the 6 s processing-time TTL lapse
-        input.addData(Seq("a"))
-        awaitCount(4, "re-emission of a after TTL expiry")
+        assert(spark.table("dedup_tws_sup").count() == 3) // a still in state
+      } finally q1.stop()
+      // (2) expiry — the only genuinely time-sensitive half — under a SHORT
+      // TTL so the fixed wait shrinks (2 s TTL + slack vs the old 8 s sleep)
+      val in2 = MemoryStream[String]
+      val q2 = start(in2, ttlMs = 2000L, "dedup_tws_exp")
+      try {
+        in2.addData(Seq("a"))
+        awaitCount("dedup_tws_exp", 1, "first a")
+        Thread.sleep(3500) // let the 2 s processing-time TTL lapse
+        in2.addData(Seq("a"))
+        awaitCount("dedup_tws_exp", 2, "re-emission of a after TTL expiry")
         // state for a expired → fresh arrival again (bounded-state contract)
-        assert(spark.table("dedup_tws").filter($"content_hash" === "a").count() >= 2)
-      } finally query.stop()
+        assert(spark.table("dedup_tws_exp").filter($"content_hash" === "a").count() == 2)
+      } finally q2.stop()
     }
   }
 
