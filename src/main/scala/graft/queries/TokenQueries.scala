@@ -183,6 +183,22 @@ object TokenQueries {
   private val lastCcnetSurvivors =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
+  /** One-slot persisted token frame for queries whose lineage consumes the
+    * tokenized corpus MORE THAN ONCE (bigram model + scored stream + vocab;
+    * dup-span map + per-doc join-back; …): the md5 word tokenization is the
+    * dominant map-side cost, and without the persist every consumer branch
+    * re-tokenizes the corpus. Same lifecycle as the ccnet survivor frame —
+    * each invocation releases the previous query's slot, so at most one
+    * token frame is ever cached per JVM (queries run sequentially). */
+  private val lastTokenFrame =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  private def persistedTokens(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.OneSlotCache.swap(lastTokenFrame, p)
+    p
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("curation_ccnet", ccnetOracle) { (s, dir) =>
@@ -267,7 +283,8 @@ object TokenQueries {
          |  CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov,
          |  CAST(coalesce(o.n_oov, 0) AS DOUBLE) / CAST(t.n_tok AS DOUBLE) AS oov_ratio
          |FROM t LEFT JOIN o USING (doc_id) WHERE t.n_tok > 0""".stripMargin) { (s, dir) =>
-      TokenPipeline.oovStats(tokenTable(s, dir), k = 24)
+      // tf aggregate + per-doc OOV pass both consume the tokenized corpus
+      TokenPipeline.oovStats(persistedTokens(tokenTable(s, dir)), k = 24)
     },
 
     // Temperature-scaled source mixing (p(s) ∝ n_s^α, α = 0.3): per-doc
@@ -352,7 +369,9 @@ object TokenQueries {
          |SELECT t.doc_id, t.n_tok, coalesce(c.n_cut, 0) AS n_cut,
          |  t.n_tok - coalesce(c.n_cut, 0) AS n_kept
          |FROM t LEFT JOIN cuts c USING (doc_id)""".stripMargin) { (s, dir) =>
-      TokenPipeline.dupSpanCutStats(TokenPipeline.fromDocuments(augmented(s, dir)), w = 16)
+      // dup-span map + the per-doc join-back both consume the tokenized corpus
+      TokenPipeline.dupSpanCutStats(
+        persistedTokens(TokenPipeline.fromDocuments(augmented(s, dir))), w = 16)
     },
 
     // Concat-and-chunk packing into 128-token examples; chunk fingerprint
@@ -429,7 +448,8 @@ object TokenQueries {
          |  CAST(round(sum(lp), 9) AS DOUBLE) AS sum_logp,
          |  CAST(round(sum(lp), 9) AS DOUBLE) / count(*) AS avg_logp
          |FROM scored GROUP BY doc_id""".stripMargin) { (s, dir) =>
-      val t = tokenTable(s, dir)
+      // bigram model, scored stream, and vocab all consume the same frame
+      val t = persistedTokens(tokenTable(s, dir))
       TokenPipeline.lmScore(t, t)
     },
 
@@ -459,7 +479,8 @@ object TokenQueries {
          |FROM cw JOIN bw USING (win_hash)
          |GROUP BY cw.doc_id""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val t = TokenPipeline.fromDocuments(augmented(s, dir))
+      // corpus windows + benchmark derivation share the tokenized frame
+      val t = persistedTokens(TokenPipeline.fromDocuments(augmented(s, dir)))
       val wRank = Window.partitionBy("source")
         .orderBy(Dedup.md5Hash60(col("doc_id")), col("doc_id"))
       val bench = t.withColumn("rk", row_number().over(wRank))
@@ -505,7 +526,9 @@ object TokenQueries {
          |  CAST(round(sum(lp), 9) AS DOUBLE) AS sum_logp,
          |  CAST(round(sum(lp), 9) AS DOUBLE) / count(*) AS avg_logp
          |FROM scored GROUP BY doc_id""".stripMargin) { (s, dir) =>
-      val t = tokenTable(s, dir)
+      // train-model branches (bigrams + vocab) and the scored val branch
+      // are all filters over the same tokenized frame
+      val t = persistedTokens(tokenTable(s, dir))
       val bucket = Dedup.md5Hash60(col("doc_id")) % 100
       TokenPipeline.lmScore(
         t.filter(bucket >= 80 && bucket < 90),
@@ -582,7 +605,9 @@ object TokenQueries {
          |JOIN t1 USING (doc_id)
          |LEFT JOIN t2 USING (doc_id)
          |WHERE t.n_tok >= 1""".stripMargin) { (s, dir) =>
-      val t = tokenTable(s, dir).filter(col("n_tok") >= 1)
+      // top-token agg, top-bigram agg, and the final projection all
+      // consume the tokenized corpus
+      val t = persistedTokens(tokenTable(s, dir).filter(col("n_tok") >= 1))
       val top1 = t.select(col("doc_id"), explode(col("tokens")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(max("c").as("top_token_cnt"))

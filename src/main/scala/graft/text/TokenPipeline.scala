@@ -106,12 +106,14 @@ object TokenPipeline {
     // corpora.
     val keeper = Window.partitionBy("win_hash")
       .orderBy(expr("try_cast(doc_id AS bigint)"), col("doc_id"), col("pos"))
+    // countDistinct instead of distinct()+count: Catalyst's distinct-agg
+    // rewrite colocates by doc_id ONCE and dedups cp within the group —
+    // the explicit distinct() paid a second exchange on (doc_id, cp)
     val cut = dup.withColumn("rn", row_number().over(keeper))
       .filter(col("rn") > 1)
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (w - 1))).as("cp"))
-      .distinct()
-      .groupBy("doc_id").agg(count(lit(1)).as("n_cut"))
+      .groupBy("doc_id").agg(countDistinct("cp").as("n_cut"))
     tokens.select("doc_id", "n_tok")
       .join(cut, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tok"),
@@ -133,20 +135,35 @@ object TokenPipeline {
     // top-k vocab via orderBy+limit (a distributed TakeOrdered with the
     // same (tf DESC, t) total order) instead of a row_number over a GLOBAL
     // window, which serialized the whole vocab into one partition. A token
-    // is OOV iff it is NOT in the top-k set, so the corpus-side membership
-    // test is an anti-join against a frame bounded by the PARAMETER k —
-    // broadcast it explicitly (the old rare-set join had no usable size
-    // estimate and shuffled the exploded corpus into a sort-merge join;
-    // guide §3.1) and the corpus stream stays map-only at any vocab size.
+    // is OOV iff it is NOT in the top-k set — bounded by the PARAMETER k,
+    // not the vocab, so the corpus-side membership test never needs a
+    // corpus shuffle (guide §3.1; the old rare-set join had no usable size
+    // estimate and sort-merge-joined the exploded corpus).
     val topk = tf.orderBy(col("tf").desc, col("t")).limit(k).select("t")
-    val oov = ex.join(broadcast(topk), Seq("t"), "left_anti")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
-    tokens.filter(col("n_tok") > 0).select("doc_id", "n_tok")
-      .join(oov, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tok"),
-        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
-        (coalesce(col("n_oov"), lit(0L)).cast("double") / col("n_tok").cast("double"))
-          .as("oov_ratio"))
+    if (k <= 1024) {
+      // small-k fast path: carry the top-k set as ONE in-plan array row
+      // (the lmScore one-row-vocab pattern — lazy, broadcast-cross-joined)
+      // and count OOV per doc with a map-side array filter. ZERO joins and
+      // ZERO exchanges on the corpus; per-token membership is a ≤k linear
+      // scan, which at k ≤ 1024 is cheaper than probing a hash relation.
+      val topkArr = topk.agg(collect_list(col("t")).as("__topk"))
+      val nOov = size(filter(col("tokens"), t => !array_contains(col("__topk"), t)))
+        .cast("long")
+      tokens.filter(col("n_tok") > 0)
+        .crossJoin(broadcast(topkArr))
+        .select(col("doc_id"), col("n_tok"), nOov.as("n_oov"),
+          (nOov.cast("double") / col("n_tok").cast("double")).as("oov_ratio"))
+    } else {
+      // large-k path: broadcast anti-join (hash-relation probe, O(1)/token)
+      val oov = ex.join(broadcast(topk), Seq("t"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
+      tokens.filter(col("n_tok") > 0).select("doc_id", "n_tok")
+        .join(oov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          (coalesce(col("n_oov"), lit(0L)).cast("double") / col("n_tok").cast("double"))
+            .as("oov_ratio"))
+    }
   }
 
   /** Temperature-scaled source mixing (the mT5/ROOTS sampling law,
