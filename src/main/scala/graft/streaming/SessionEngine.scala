@@ -85,14 +85,25 @@ object SessionEngine {
     def goalish(a: ActionRow) =
       a.type_id == Spadl.TypeShot || a.type_id == Spadl.TypeShotPenalty ||
         a.type_id == Spadl.TypeShotFreekick
+    // index-based lookahead with early exit — no per-row window slice
+    // allocation (this scan is the hot loop of the headline valuation
+    // pipeline); same truncated-window exists() semantics as before
     resorted.zipWithIndex.map { case (a, i) =>
-      val window = resorted.slice(i, math.min(i + nrActions, resorted.length))
-      val scores = window.exists(b => goalish(b) &&
-        ((b.result_id == Spadl.ResultSuccess && b.team_id == a.team_id) ||
-          (b.result_id == Spadl.ResultOwngoal && b.team_id != a.team_id)))
-      val concedes = window.exists(b => goalish(b) &&
-        ((b.result_id == Spadl.ResultOwngoal && b.team_id == a.team_id) ||
-          (b.result_id == Spadl.ResultSuccess && b.team_id != a.team_id)))
+      var scores = false
+      var concedes = false
+      val end = math.min(i + nrActions, resorted.length)
+      var j = i
+      while (j < end && !(scores && concedes)) {
+        val b = resorted(j)
+        if (goalish(b)) {
+          if (b.result_id == Spadl.ResultSuccess) {
+            if (b.team_id == a.team_id) scores = true else concedes = true
+          } else if (b.result_id == Spadl.ResultOwngoal) {
+            if (b.team_id == a.team_id) concedes = true else scores = true
+          }
+        }
+        j += 1
+      }
       ValuedAction(a.game_id, a.action_id, a.period_id, a.time_seconds,
         a.team_id, a.player_id, a.start_x, a.start_y, a.end_x, a.end_y,
         a.type_id, a.result_id, a.bodypart_id, a.seq, scores, concedes)
@@ -110,7 +121,9 @@ object SessionEngine {
         col("result_id"), col("bodypart_id"), col("seq"))
       .as[ActionRow]
       .groupByKey(_.game_id)
-      .flatMapGroups((_: Long, it: Iterator[ActionRow]) => processGame(it.toSeq).iterator)
+      // toIndexedSeq: one materialization (processGame indexes it), not the
+      // List-then-Vector double copy of toSeq
+      .flatMapGroups((_: Long, it: Iterator[ActionRow]) => processGame(it.toIndexedSeq).iterator)
       .toDF()
   }
 

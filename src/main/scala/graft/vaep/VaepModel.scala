@@ -113,16 +113,22 @@ object VaepModel {
     (fitted, metrics)
   }
 
-  /** M2 — P̂(positive) per model as columns `scores_p` / `concedes_p`. */
+  /** M2 — P̂(positive) per model as columns `scores_p` / `concedes_p`.
+    *
+    * Scores through the [[FrozenGbt]] literal-tree walker instead of two
+    * `GBTClassificationModel.transform` stages: the walker replicates
+    * predictRaw's weighted leaf-sum and the log-loss link term for term
+    * (FrozenGbtSpec asserts ≤1e-12 parity with the ml transform on every
+    * row), but runs as ONE whole-stage-codegen projection — no
+    * VectorAssembler materialization and no per-row prediction UDF, the
+    * guide-§4 "prefer codegen expressions in the hot path" move. */
   def estimateProbabilities(model: Fitted, df: DataFrame): DataFrame = {
-    val assembled = assembler(model.featureCols)
-      .transform(numericize(df, model.featureCols.toSeq))
-    val p = (m: GBTClassificationModel, out: String) => (d: DataFrame) =>
-      m.transform(d)
-        .withColumn(out, vector_to_array(col("probability")).getItem(1))
-        .drop("rawPrediction", "probability", "prediction")
-    p(model.concedes, "concedes_p")(p(model.scores, "scores_p")(assembled))
-      .drop("features_vec")
+    val num = numericize(df, model.featureCols.toSeq)
+    num
+      .withColumn("scores_p",
+        FrozenGbt.column(FrozenGbt.fromMl(model.scores, model.featureCols)))
+      .withColumn("concedes_p",
+        FrozenGbt.column(FrozenGbt.fromMl(model.concedes, model.featureCols)))
   }
 
   /** M3 — rate: probabilities + the VAEP value formula. */

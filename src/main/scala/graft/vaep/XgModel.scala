@@ -45,13 +45,14 @@ object XgModel {
     m
   }
 
-  /** P̂(goal) per shot as column `outCol`. */
+  /** P̂(goal) per shot as column `outCol` — scored through the FrozenGbt
+    * literal-tree walker (≤1e-12 parity with the ml transform, see
+    * VaepModel.estimateProbabilities): one codegen projection instead of a
+    * VectorAssembler + prediction-UDF stage. */
   def predict(model: GBTClassificationModel, df: DataFrame,
               featureCols: Array[String], outCol: String = "xg"): DataFrame =
-    model.transform(assemble(df, featureCols))
-      .withColumn(outCol,
-        org.apache.spark.ml.functions.vector_to_array(col("probability")).getItem(1))
-      .drop("rawPrediction", "probability", "prediction", "features_vec")
+    VaepModel.numericize(df, featureCols.toSeq)
+      .withColumn(outCol, FrozenGbt.column(FrozenGbt.fromMl(model, featureCols)))
 
   private def assemble(df: DataFrame, featureCols: Array[String]): DataFrame =
     new VectorAssembler().setInputCols(featureCols).setOutputCol("features_vec")
