@@ -200,8 +200,148 @@ object AtomicOps {
       .otherwise(col("type_id")).as("type_id"),
     col("bodypart_id"), col("seq"))
 
-  /** Full SPADL → Atomic-SPADL conversion (`atomic/spadl/base.py:16-36`). */
-  def convertToAtomic(actions: DataFrame): DataFrame =
+  /** Full SPADL → Atomic-SPADL conversion (`atomic/spadl/base.py:16-36`),
+    * declarative composition — the per-stage window/explode operators above
+    * chained as written. Kept as the reference formulation the per-stage
+    * oracles gate and the equivalence baseline for [[convertToAtomic]]. */
+  def convertToAtomicDeclarative(actions: DataFrame): DataFrame =
     convertColumns(
       extraFromFouls(extraFromShots(addDribblesById(extraFromPasses(actions)))))
+
+  // ---- typed per-game scan (the SessionEngine.runBatch pattern) -----------
+
+  import graft.streaming.SessionEngine.ActionRow
+
+  private def renumber(rows: IndexedSeq[ActionRow]): IndexedSeq[ActionRow] =
+    rows.zipWithIndex.map { case (a, i) => a.copy(action_id = i.toLong) }
+
+  private val PasslikeSet = PasslikeIds.toSet
+  private val InterceptionlikeSet = InterceptionlikeIds.toSet
+  private val ShotlikeSet = ShotlikeIds.toSet
+
+  /** One insertion stage over the in-memory game: emit each row, then the
+    * conditional synthesized row immediately after it. Inserting after the
+    * base IS the (period_id, aid_frac) sort position the declarative
+    * `explodeInterleave` renumbers by: the input is (period, action_id)
+    * sorted and every extra carries (base period, base id + 0.1) — or, for
+    * dribbles, the next row's period under a same-period guard — so
+    * (p_base, id+0.1) always falls strictly between its base and the next
+    * row. AtomicOpsSpec asserts whole-frame equality with the declarative
+    * chain. */
+  private def stage(cur: IndexedSeq[ActionRow])(
+      extra: (ActionRow, Option[ActionRow]) => Option[ActionRow]): IndexedSeq[ActionRow] = {
+    val out = IndexedSeq.newBuilder[ActionRow]
+    var i = 0
+    val n = cur.length
+    while (i < n) {
+      val a = cur(i)
+      out += a
+      extra(a, if (i + 1 < n) Some(cur(i + 1)) else None).foreach(out += _)
+      i += 1
+    }
+    renumber(out.result())
+  }
+
+  /** The four insertion stages of the atomic chain as ONE ordered in-memory
+    * pass per game — semantics identical term for term to the declarative
+    * window/explode stages above (each condition and synthesized field cites
+    * the same reference lines; equality is spec-asserted and the
+    * `atomic_convert_full` oracle hashes the composition end to end). */
+  def processAtomicGame(rows: Iterable[ActionRow]): IndexedSeq[ActionRow] = {
+    val sorted = rows.toIndexedSeq.sortBy(a => (a.period_id, a.action_id))
+    // N16 — extraFromPasses (`atomic/spadl/base.py:39-113`)
+    val afterPasses = stage(sorted) { (a, nxOpt) =>
+      nxOpt.flatMap { nx =>
+        if (PasslikeSet(a.type_id) && nx.period_id == a.period_id &&
+            !InterceptionlikeSet(nx.type_id)) {
+          val sameTeam = a.team_id == nx.team_id
+          val offside = a.result_id == ResultOffside
+          val outOfPlay = (nx.type_id == TypeGoalkick && !sameTeam) ||
+            nx.type_id == 2 // throw_in
+          // mask order (`base.py:98-104`): receival < interception < out < offside
+          val typeId =
+            if (offside) TypeOffside
+            else if (outOfPlay) TypeOut
+            else if (!sameTeam) TypeInterception
+            else TypeReceival
+          Some(ActionRow(a.game_id, a.action_id, a.period_id,
+            (a.time_seconds + nx.time_seconds) / 2,
+            if (typeId == TypeInterception) nx.team_id else a.team_id,
+            if (outOfPlay || offside) a.player_id else nx.player_id,
+            a.end_x, a.end_y, a.end_x, a.end_y,
+            typeId, -1, BodypartFoot, a.seq))
+        } else None
+      }
+    }
+    // N2 rerun by id — addDribblesById (`atomic/spadl/base.py:31`)
+    val afterDribbles = stage(afterPasses) { (a, nxOpt) =>
+      nxOpt.flatMap { nx =>
+        val dx = a.end_x - nx.start_x
+        val dy = a.end_y - nx.start_y
+        val d2 = dx * dx + dy * dy
+        val cond = a.team_id == nx.team_id &&
+          nx.type_id != TypeFoul &&
+          nx.type_id != TypeShot && nx.bodypart_id != BodypartHead &&
+          d2 >= SpadlOps.MinDribbleLength * SpadlOps.MinDribbleLength &&
+          d2 <= SpadlOps.MaxDribbleLength * SpadlOps.MaxDribbleLength &&
+          nx.time_seconds - a.time_seconds < SpadlOps.MaxDribbleDuration &&
+          a.period_id == nx.period_id
+        if (cond)
+          Some(ActionRow(a.game_id, a.action_id, nx.period_id,
+            (a.time_seconds + nx.time_seconds) / 2, nx.team_id, nx.player_id,
+            a.end_x, a.end_y, nx.start_x, nx.start_y,
+            TypeDribble, ResultSuccess, BodypartFoot, a.seq))
+        else None
+      }
+    }
+    // N17 — extraFromShots (`atomic/spadl/base.py:116-166`)
+    val afterShots = stage(afterDribbles) { (a, nxOpt) =>
+      val shot = ShotlikeSet(a.type_id)
+      val goal = shot && a.result_id == ResultSuccess
+      val owngoal = a.result_id == ResultOwngoal
+      val outOfPlay = shot && nxOpt.exists(nx =>
+        (nx.type_id == TypeCornerCrossed || nx.type_id == TypeCornerShort ||
+          nx.type_id == TypeGoalkick) && nx.period_id == a.period_id)
+      if (goal || owngoal || outOfPlay) {
+        // mask order (`base.py:157-161`): out < goal < owngoal
+        val typeId = if (owngoal) TypeOwngoal else if (goal) TypeGoal else TypeOut
+        Some(ActionRow(a.game_id, a.action_id, a.period_id, a.time_seconds,
+          a.team_id, a.player_id, a.end_x, a.end_y, a.end_x, a.end_y,
+          typeId, -1, a.bodypart_id, a.seq))
+      } else None
+    }
+    // N18 — extraFromFouls (`atomic/spadl/base.py:169-197`)
+    stage(afterShots) { (a, _) =>
+      val yellow = a.result_id == ResultYellow
+      val red = a.result_id == ResultRed
+      if (yellow || red)
+        Some(ActionRow(a.game_id, a.action_id, a.period_id, a.time_seconds,
+          a.team_id, a.player_id, a.end_x, a.end_y, a.end_x, a.end_y,
+          if (red) TypeRedCard else TypeYellowCard, -1, a.bodypart_id, a.seq))
+      else None
+    }
+  }
+
+  /** Full SPADL → Atomic-SPADL conversion: the typed per-game scan (one
+    * co-locating shuffle + one linear in-memory pass — the
+    * SessionEngine.runBatch pattern, which A/B-measured ~2× faster than the
+    * window-chain form at 20× replication) followed by the map-only column
+    * conversion. Value-identical to [[convertToAtomicDeclarative]]
+    * (spec-asserted; `atomic_convert_full` and every downstream atomic
+    * oracle hash the composition). */
+  def convertToAtomic(actions: DataFrame): DataFrame = {
+    val spark = actions.sparkSession
+    import spark.implicits._
+    val atomic = actions
+      .select(col("game_id"), col("action_id"), col("period_id"),
+        col("time_seconds"), col("team_id"), col("player_id"), col("start_x"),
+        col("start_y"), col("end_x"), col("end_y"), col("type_id"),
+        col("result_id"), col("bodypart_id"), col("seq"))
+      .as[ActionRow]
+      .groupByKey(_.game_id)
+      .flatMapGroups((_: Long, it: Iterator[ActionRow]) =>
+        processAtomicGame(it.toIndexedSeq).iterator)
+      .toDF()
+    convertColumns(atomic)
+  }
 }
