@@ -11,9 +11,11 @@ C = {}
 def tag(names, note):
     for n in names: C[n] = note
 
-tag(["vaep_ml_rate", "atomic_vaep_ml_rate"],
-    "#1 narrowed cache + concurrent pair fit + scale-adaptive partitions")
-tag(["xg_rate_gbt"], "#1 narrowed cache + scale-adaptive training partitions")
+tag(["vaep_ml_rate"],
+    "#1 narrowed cache + concurrent pair fit + scale-adaptive partitions; #15 frozen-walker predict")
+tag(["atomic_vaep_ml_rate"],
+    "#1 (pair fit); #15 frozen-walker predict; #16 typed atomic chain upstream")
+tag(["xg_rate_gbt"], "#1 narrowed cache + scale-adaptive partitions; #15 frozen-walker predict")
 tag(["stream_vocab_from_tokens", "stream_dedup_exact", "stream_dedup_watermarked",
      "stream_dedup_tws", "stream_pack_chunks", "stream_pack_chunks_tws"],
     "#2 scale-adaptive shuffle/state parallelism")
@@ -28,6 +30,11 @@ tag(["convert_statsbomb_full"], "#8 parse extra bag once (~100 -> 2 from_json in
 tag(["xt_rate", "xt_rate_grid", "xt_rate_interp", "xt_rate_interp_ref",
      "xt_fit_surface", "xt_value_iteration", "stream_rated_sink"],
     "#9 fused one-pass XThreat.fit (2 collect jobs -> 1)")
+tag(["atomic_convert_full", "atomic_vaep_ltr", "atomic_vaep_labels",
+     "atomic_vaep_formula", "atomic_vaep_goalscore", "atomic_vaep_features"],
+    "#16 typed per-game atomic scan (8 windows/7 sorts/4 explodes -> 1 pass)")
+tag(["stream_cep_batch", "stream_cep_from_tokens"],
+    "#14 allocation-free lookahead in the typed CEP scan")
 tag(["tokens_decontaminate"], "#10 levers opt-in (probe only); #11 persist")
 tag(["tokens_span_cut"], "#11 persist; #12 countDistinct single exchange")
 tag(["tokens_repetition_stats", "tokens_lm_perplexity_heldout"], "#11 one-slot token persist")
@@ -37,12 +44,6 @@ LEFT = {
     "convert_wyscout_full": "examined: 1 exchange, 7 windows, map-only dispatch; cost is per-row when-chain CPU + mandated resorts",
     "convert_kloppy_full": "examined: 1 exchange, qualifier-array dispatch map-only; same",
     "convert_opta_full": "examined: same single-exchange window-chain shape",
-    "atomic_convert_full": "examined: 4 explode-interleave stages; 7 sorts mandated by fractional-id resequencing semantics",
-    "atomic_vaep_ltr": "upstream convertToAtomic dominates (see atomic_convert_full)",
-    "atomic_vaep_labels": "chain + lookahead windows; shape already 1 exchange",
-    "atomic_vaep_formula": "chain + map-only formula",
-    "atomic_vaep_goalscore": "chain + running-sum window",
-    "atomic_vaep_features": "chain + wide map-only projection",
     "dedup_simhash_pairs": "examined: md5-per-token vote pass is the cost; single posting shuffle, in-plan cap",
     "dedup_minhash_lsh": "examined: one signature shuffle, capped banding; verify joins bounded by candidates",
     "dedup_exact": "spillable window form, 1 exchange — by design",
@@ -60,8 +61,6 @@ LEFT = {
     "multimodal_decode": "ImageIO/codec CPU; batched mapPartitions",
     "multimodal_decode_4fmt": "ImageIO/codec CPU; batched mapPartitions",
     "multimodal_features": "map-only",
-    "stream_cep_batch": "typed per-game scan; A/B vs declarative chain kept typed (PhaseBench: 4.2 s vs 14.4 s at 20x)",
-    "stream_cep_from_tokens": "same typed scan + codec roundtrip",
     "stream_tokens_roundtrip": "codec quantization roundtrip, map-only",
     "stream_windowed_team_stats": "tumbling-window agg, 1 exchange",
     "stream_assist_candidates": "interval join, bounded",
