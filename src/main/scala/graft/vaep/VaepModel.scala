@@ -146,7 +146,4 @@ object VaepModel {
       .evaluate(withL)
     (brier, auroc)
   }
-
-  private def vector_to_array(c: org.apache.spark.sql.Column) =
-    org.apache.spark.ml.functions.vector_to_array(c)
 }
